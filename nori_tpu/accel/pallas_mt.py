@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: brute-force Möller–Trumbore intersection.
+
+The reference's per-ray BVH walk maps badly to TPU (per-lane dynamic
+addressing -> serialized XLA gathers/scatters).  For the scene sizes the
+reference ships (<= ~26k triangles) the speed-of-light design is a
+dense ray x triangle sweep shaped like a matmul:
+
+  grid = (ray_tiles, tri_tiles); triangle tile data lives in VMEM and is
+  reused across the ray tile; each kernel instance evaluates a
+  (TILE_N x TILE_T) block of Möller–Trumbore tests on the VPU and folds
+  a running closest-hit (argmin) epilogue into VMEM scratch.  The TPU
+  grid is sequential over the last axis, so the scratch accumulates
+  across triangle tiles and is flushed on the final tile.
+
+Triangle test semantics match src/mesh.cpp:51-88 exactly (det cutoff
+1e-8, u in [0,1], v >= 0, u+v <= 1, t in [mint, maxt]).
+
+Layouts: tris packed (9, T) = [v0|e1|e2] x [x,y,z]; rays packed (8, N) =
+[ox,oy,oz,dx,dy,dz,mint,maxt]; all padded to tile multiples.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256   # rays per tile (sublane-major)
+TILE_T = 512   # triangles per tile (lane-major)
+NEG = -1.0
+
+
+def _mt_kernel(tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
+               bt_ref, bi_ref, bu_ref, bv_ref, *, any_hit: bool):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    rays = ray_ref[:, :]        # (8, TILE_N)
+    tris = tri_ref[:, :]        # (9, TILE_T)
+
+    def col(i):  # ray scalar component as (TILE_N, 1)
+        return rays[i, :].reshape(TILE_N, 1)
+
+    def trow(i):  # tri component as (1, TILE_T)
+        return tris[i, :].reshape(1, TILE_T)
+
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    mint, maxt = col(6), col(7)
+    v0x, v0y, v0z = trow(0), trow(1), trow(2)
+    e1x, e1y, e1z = trow(3), trow(4), trow(5)
+    e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+    # pvec = d x e2  -> (TILE_N, TILE_T) per component
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > 1e-8
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= mint) & (t <= maxt)
+    )
+
+    tm = jnp.where(hit, t, jnp.inf)          # (TILE_N, TILE_T)
+    tile_min = jnp.min(tm, axis=1, keepdims=True)
+    is_min = (tm == tile_min) & hit
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_T), 1)
+    # break ties toward the lowest lane index (cumsum is unsupported in
+    # Mosaic, so use a min-reduce over masked lane ids instead)
+    min_lane = jnp.min(
+        jnp.where(is_min, lane, jnp.int32(TILE_T)), axis=1, keepdims=True
+    )
+    first = is_min & (lane == min_lane)
+    fsel = first.astype(jnp.float32)
+    sel_idx = jnp.sum(
+        jnp.where(first, lane, 0), axis=1
+    ) + j * TILE_T
+    sel_u = jnp.sum(u * fsel, axis=1)
+    sel_v = jnp.sum(v * fsel, axis=1)
+    tile_min1 = tile_min[:, 0]
+
+    @pl.when(j == 0)
+    def _init():
+        bt_ref[0, :] = jnp.full((TILE_N,), jnp.inf, jnp.float32)
+        bi_ref[0, :] = jnp.full((TILE_N,), -1, jnp.int32)
+        bu_ref[0, :] = jnp.zeros((TILE_N,), jnp.float32)
+        bv_ref[0, :] = jnp.zeros((TILE_N,), jnp.float32)
+
+    better = tile_min1 < bt_ref[0, :]
+    bt_ref[0, :] = jnp.where(better, tile_min1, bt_ref[0, :])
+    bi_ref[0, :] = jnp.where(better, sel_idx, bi_ref[0, :])
+    bu_ref[0, :] = jnp.where(better, sel_u, bu_ref[0, :])
+    bv_ref[0, :] = jnp.where(better, sel_v, bv_ref[0, :])
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        t_ref[0, :] = bt_ref[0, :]
+        idx_ref[0, :] = bi_ref[0, :]
+        u_ref[0, :] = bu_ref[0, :]
+        v_ref[0, :] = bv_ref[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
+    """tris_packed: (9, T); rays_packed: (8, N); T, N tile multiples.
+
+    Returns (t, idx, u, v) each (N,); idx == -1 -> miss.
+    """
+    _, T = tris_packed.shape
+    _, N = rays_packed.shape
+    grid = (N // TILE_N, T // TILE_T)
+
+    kernel = functools.partial(_mt_kernel, any_hit=any_hit)
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+        jax.ShapeDtypeStruct((1, N), jnp.int32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, TILE_N), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    t, idx, u, v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((9, TILE_T), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_N), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((1, TILE_N), jnp.float32),
+            pltpu.VMEM((1, TILE_N), jnp.int32),
+            pltpu.VMEM((1, TILE_N), jnp.float32),
+            pltpu.VMEM((1, TILE_N), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * N * T, bytes_accessed=4 * (9 * T + 8 * N + 16 * N),
+            transcendentals=0,
+        ),
+    )(tris_packed, rays_packed)
+    return t[0], idx[0], u[0], v[0]
+
+
+def pack_rays(o, d, mint, maxt, pad_to: int = TILE_N):
+    """(N,3)x2 + (N,)x2 -> (8, Npad) with never-hitting padded rays."""
+    N = o.shape[0]
+    npad = (-N) % pad_to
+    packed = jnp.concatenate(
+        [o.T, d.T, mint[None, :], maxt[None, :]], axis=0
+    )
+    if npad:
+        filler = jnp.zeros((8, npad), packed.dtype)
+        # degenerate rays: mint > maxt so nothing hits
+        filler = filler.at[6, :].set(1.0)
+        filler = filler.at[7, :].set(-1.0)
+        packed = jnp.concatenate([packed, filler], axis=1)
+    return packed, N

@@ -1,0 +1,34 @@
+"""Global execution configuration.
+
+accel_mode selects the intersection backend:
+  * "auto"   — Pallas MT sweep on TPU for scenes up to PALLAS_MAX_TRIS,
+               chunked jnp sweep on CPU for small scenes, wide-BVH
+               wavefront traversal otherwise.
+  * "pallas" / "scan" / "bvh" — force a backend.
+
+On the axon-tunneled TPU platform, loop-carried control flow is
+expensive (~27us per fori_loop iteration, ~250us per while_loop
+iteration due to host round-trips), which makes the dense Pallas sweep
+the fastest option by a wide margin for reference-scale scenes.
+"""
+
+from __future__ import annotations
+
+import jax
+
+accel_mode: str = "auto"
+
+#: dense-sweep cutoff: above this triangle count use the BVH
+PALLAS_MAX_TRIS = 1 << 17
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def resolve_accel(num_tris: int) -> str:
+    if accel_mode != "auto":
+        return accel_mode
+    if num_tris <= PALLAS_MAX_TRIS:
+        return "pallas" if on_tpu() else "scan"
+    return "bvh"
