@@ -24,6 +24,7 @@ from nori_tpu import emitter as _emitter  # noqa: F401,E402
 from nori_tpu import mesh as _mesh  # noqa: F401,E402
 from nori_tpu import scene as _scene  # noqa: F401,E402
 from nori_tpu import integrators as _integrators  # noqa: F401,E402
+from nori_tpu import testing as _testing  # noqa: F401,E402
 
 __version__ = "0.1.0"
 

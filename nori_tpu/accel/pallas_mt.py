@@ -127,6 +127,7 @@ def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
     grid = (N // TILE_N, T // TILE_T)
 
     kernel = functools.partial(_mt_kernel, any_hit=any_hit)
+    interpret = jax.default_backend() == "cpu"
     out_shapes = [
         jax.ShapeDtypeStruct((1, N), jnp.float32),
         jax.ShapeDtypeStruct((1, N), jnp.int32),
@@ -158,6 +159,7 @@ def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
             flops=45 * N * T, bytes_accessed=4 * (9 * T + 8 * N + 16 * N),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(tris_packed, rays_packed)
     return t[0], idx[0], u[0], v[0]
 

@@ -19,23 +19,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _mix32(x: jnp.ndarray) -> jnp.ndarray:
-    """Strong 32-bit integer finalizer (murmur3-style avalanche)."""
+def _pcg(x: jnp.ndarray) -> jnp.ndarray:
+    """PCG output hash (Jarzynski & Olano, "Hash Functions for GPU
+    Rendering", JCGT 2020) — passes their statistical battery."""
     x = jnp.asarray(x, jnp.uint32)
-    x ^= x >> 16
-    x *= jnp.uint32(0x7FEB352D)
-    x ^= x >> 15
-    x *= jnp.uint32(0x846CA68B)
-    x ^= x >> 16
-    return x
+    state = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
+    return (word >> 22) ^ word
 
 
 def hash_combine(*ints) -> jnp.ndarray:
-    """Combine integer arrays/scalars into one well-mixed uint32 stream."""
+    """Combine integer arrays/scalars into one well-mixed uint32 stream
+    by chaining the PCG hash over the inputs."""
     acc = jnp.uint32(0x9E3779B9)
     for v in ints:
-        acc = _mix32(jnp.asarray(v, jnp.uint32) + acc * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35))
-    return acc
+        acc = _pcg(acc + jnp.asarray(v, jnp.uint32))
+    return _pcg(acc)
 
 
 def uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
