@@ -1,0 +1,79 @@
+"""Acceleration-structure correctness: BVH and Pallas sweep vs the
+brute-force oracle on random soups and reference scenes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nori_tpu import load_from_xml
+from nori_tpu.accel import traverse as tr
+
+
+def _random_rays(sd, n, seed):
+    r = np.random.RandomState(seed)
+    lo = np.asarray(sd.bbox_min)
+    hi = np.asarray(sd.bbox_max)
+    span = hi - lo
+    o = lo + r.rand(n, 3) * span
+    d = r.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return (
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        jnp.full((n,), 1e-4, jnp.float32), jnp.full((n,), 1e30, jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def cbox(ref_scenes):
+    root = load_from_xml(f"{ref_scenes}/pa5/cbox/cbox_mis.xml")
+    return root.compile()
+
+
+def test_bvh_matches_brute_force(cbox):
+    o, d, mint, maxt = _random_rays(cbox, 2048, 0)
+    hb = tr.intersect_brute(cbox, o, d, mint, maxt)
+    hv = tr.intersect_bvh(cbox, o, d, mint, maxt)
+    assert np.array_equal(np.asarray(hb.valid), np.asarray(hv.valid))
+    v = np.asarray(hb.valid)
+    assert np.allclose(np.asarray(hb.t)[v], np.asarray(hv.t)[v], rtol=1e-6)
+    assert np.array_equal(np.asarray(hb.tri)[v], np.asarray(hv.tri)[v])
+
+
+def test_pallas_interpret_matches_brute_force(cbox):
+    o, d, mint, maxt = _random_rays(cbox, 512, 1)
+    hb = tr.intersect_brute(cbox, o, d, mint, maxt)
+    hp = tr._intersect_pallas(cbox, o, d, mint, maxt)
+    assert np.array_equal(np.asarray(hb.valid), np.asarray(hp.valid))
+    v = np.asarray(hb.valid)
+    assert np.array_equal(np.asarray(hb.tri)[v], np.asarray(hp.tri)[v])
+
+
+def test_occlusion_consistency(cbox):
+    o, d, mint, maxt = _random_rays(cbox, 1024, 2)
+    h = tr.intersect_brute(cbox, o, d, mint, maxt)
+    occ = tr.intersect_bvh(cbox, o, d, mint, maxt, any_hit=True).valid
+    assert np.array_equal(np.asarray(h.valid), np.asarray(occ))
+
+
+def test_shadow_ray_respects_maxt(cbox):
+    o, d, mint, maxt = _random_rays(cbox, 512, 3)
+    h = tr.intersect_brute(cbox, o, d, mint, maxt)
+    v = np.asarray(h.valid)
+    # shorten maxt to just below each hit: nothing may be found
+    t = np.asarray(h.t)
+    short = jnp.asarray(np.where(v, t * 0.99, 1e-4), jnp.float32)
+    h2 = tr.intersect_brute(cbox, o, d, mint, short)
+    assert not np.any(np.asarray(h2.valid)[v] & (np.asarray(h2.t)[v] >= t[v]))
+
+
+def test_mint_excludes_near_hits(cbox):
+    o, d, mint, maxt = _random_rays(cbox, 512, 4)
+    h = tr.intersect_brute(cbox, o, d, mint, maxt)
+    v = np.asarray(h.valid)
+    t = np.asarray(h.t)
+    past = jnp.asarray(np.where(v, t * 1.0001, 1e-4), jnp.float32)
+    h2 = tr.intersect_brute(cbox, o, d, past, maxt)
+    # any new hit must be strictly farther
+    both = v & np.asarray(h2.valid)
+    assert np.all(np.asarray(h2.t)[both] >= t[both])

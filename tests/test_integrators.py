@@ -1,0 +1,138 @@
+"""Integrator estimator tests (reduced-sample versions of the pa4/pa5
+t-test fixtures, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nori_tpu import load_from_xml
+from nori_tpu.core import rng
+from nori_tpu.core.color import luminance
+from nori_tpu.testing.hypothesis import students_t_test
+
+N = 40_000
+
+
+def _scene_mean(scene, n=N, seed=0):
+    sd = scene.compile()
+    scene.integrator.preprocess(scene)
+    cam = scene.camera
+    li = scene.integrator.make_li(scene)
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    u = rng.uniform2(jnp.uint32(seed), lanes, jnp.uint32(7))
+    pos = u * jnp.asarray([cam.width, cam.height], jnp.float32)
+    o, d, mint, maxt = type(cam).sample_rays(cam.ray_params(), pos)
+    L, aux = jax.jit(li)(sd, o, d, mint, maxt, jnp.uint32(seed), lanes)
+    lum = np.asarray(luminance(L), np.float64)
+    return lum.mean(), lum.var(ddof=1)
+
+
+def _make_furnace_xml(tmp_path, ref_scenes, integrator, albedo):
+    xml = f"""<?xml version="1.0"?>
+    <scene>
+        <integrator type="{integrator}"/>
+        <camera type="perspective">
+            <float name="fov" value="10"/>
+            <integer name="width" value="1"/>
+            <integer name="height" value="1"/>
+        </camera>
+        <mesh type="obj">
+            <string name="filename" value="{ref_scenes}/pa5/tests/furnace.obj"/>
+            <bsdf type="diffuse">
+                <color name="albedo" value="{albedo}, {albedo}, {albedo}"/>
+            </bsdf>
+            <emitter type="area">
+                <color name="radiance" value="1, 1, 1"/>
+            </emitter>
+        </mesh>
+    </scene>"""
+    p = tmp_path / f"furnace_{integrator}_{albedo}.xml"
+    p.write_text(xml)
+    return str(p)
+
+
+@pytest.mark.parametrize("integrator", ["path_mats", "path_ems", "path_mis"])
+def test_furnace(tmp_path, ref_scenes, integrator):
+    """Closed emissive box with albedo a: Li = 1/(1-a)."""
+    path = _make_furnace_xml(tmp_path, ref_scenes, integrator, 0.5)
+    scene = load_from_xml(path)
+    mean, var = _scene_mean(scene)
+    ok, msg = students_t_test(mean, var, 2.0, N, 0.01, 3)
+    assert ok, msg
+
+
+def test_polylum_direct(tmp_path, ref_scenes):
+    """Analytic polygonal-luminaire irradiance (test-direct fixture)."""
+    xml = f"""<?xml version="1.0"?>
+    <scene>
+        <integrator type="path_ems"/>
+        <camera type="perspective">
+            <transform name="toWorld">
+                <lookat origin="0, 0.01, 0" target="0, 0, 0" up="0, 0, 1"/>
+            </transform>
+            <float name="fov" value="1e-6"/>
+            <integer name="width" value="1"/>
+            <integer name="height" value="1"/>
+        </camera>
+        <mesh type="obj">
+            <string name="filename" value="{ref_scenes}/pa5/tests/floor.obj"/>
+            <bsdf type="diffuse"><color name="albedo" value="0.5, 0.5, 0.5"/></bsdf>
+        </mesh>
+        <mesh type="obj">
+            <string name="filename" value="{ref_scenes}/pa5/tests/polylum1.obj"/>
+            <bsdf type="diffuse"><color name="albedo" value="0, 0, 0"/></bsdf>
+            <emitter type="area"><color name="radiance" value="1, 1, 1"/></emitter>
+        </mesh>
+    </scene>"""
+    p = tmp_path / "pl.xml"
+    p.write_text(xml)
+    scene = load_from_xml(str(p))
+    # analytic reference via Lambert's vector-irradiance formula
+    # (Arvo's thesis eq. 3.1-3.3 — same construction as polylum.py)
+    md = scene.meshes[1].data
+    v = md.positions[md.faces[0]].astype(np.float64)
+    phi = np.zeros(3)
+    for k0 in range(3):
+        k1 = (k0 + 1) % 3
+        theta = np.arccos(
+            np.dot(v[k0], v[k1])
+            / (np.linalg.norm(v[k0]) * np.linalg.norm(v[k1]))
+        )
+        g = np.cross(v[k0], v[k1])
+        # Lambert's formula: E = (1/2) sum theta (Gamma_hat . n)
+        # (the polylum.py generator's 1/4 factor does not reproduce its
+        # own shipped fixtures — 1/2 matches test-direct.xml's 0.0898394)
+        phi += 0.5 * theta * g / np.linalg.norm(g)
+    ref = 0.5 / np.pi * (-phi[1])
+    mean, var = _scene_mean(scene)
+    ok, msg = students_t_test(mean, var, ref, N, 0.01, 1)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("a_b", [("path_mats", "path_mis"),
+                                 ("path_ems", "path_mis")])
+def test_strategies_agree(tmp_path, ref_scenes, a_b):
+    """mats/ems/mis must estimate the same expectation."""
+    a, b = a_b
+    sa = load_from_xml(_make_furnace_xml(tmp_path, ref_scenes, a, 0.7))
+    sb = load_from_xml(_make_furnace_xml(tmp_path, ref_scenes, b, 0.7))
+    ma, va = _scene_mean(sa, seed=1)
+    mb, vb = _scene_mean(sb, seed=2)
+    se = np.sqrt(va / N + vb / N)
+    assert abs(ma - mb) < 4 * se + 1e-3, (ma, mb, se)
+
+
+def test_normals_integrator(ref_scenes):
+    scene = load_from_xml(f"{ref_scenes}/pa1/bunny.xml")
+    mean, var = _scene_mean(scene, n=4096)
+    assert 0.0 < mean < 1.0  # normals are |n| components in [0,1]
+
+
+def test_whitted_sees_light(tmp_path, ref_scenes):
+    scene = load_from_xml(_make_furnace_xml(
+        tmp_path, ref_scenes, "whitted", 0.5))
+    mean, var = _scene_mean(scene, n=20000)
+    # whitted inside furnace: Le + single bounce = 1 + 0.5
+    ok, msg = students_t_test(mean, var, 1.5, 20000, 0.01, 1)
+    assert ok, msg
