@@ -1,0 +1,168 @@
+"""Procedurally built scenes (no external assets).
+
+Used by bench.py, __graft_entry__.py and tests: a Cornell-box-style
+scene exercising every BSDF family, built directly as MeshData so no
+file IO or reference checkout is required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nori_tpu.props import PropertyList
+from nori_tpu.registry import create_instance
+from nori_tpu.obj_loader import MeshData
+from nori_tpu.mesh import Mesh
+
+
+def _quad(p0, p1, p2, p3):
+    """Two triangles (p0,p1,p2) + (p0,p2,p3)."""
+    verts = np.asarray([p0, p1, p2, p3], dtype=np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], dtype=np.uint32)
+    return verts, faces
+
+
+def _icosphere(center, radius, subdiv=2):
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.asarray([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], dtype=np.float64)
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], dtype=np.int64)
+    for _ in range(subdiv):
+        mid = {}
+        new_faces = []
+        verts = list(map(tuple, verts))
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                v = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2.0
+                v /= np.linalg.norm(v)
+                mid[key] = len(verts)
+                verts.append(tuple(v))
+            return mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        faces = np.asarray(new_faces, dtype=np.int64)
+        verts = np.asarray(verts, dtype=np.float64)
+    verts = np.asarray(verts, dtype=np.float64)
+    pos = (verts * radius + np.asarray(center)).astype(np.float32)
+    normals = verts.astype(np.float32)
+    return pos, faces.astype(np.uint32), normals
+
+
+def _mesh_obj(positions, faces, bsdf=None, emitter=None, normals=None,
+              name="builtin"):
+    m = Mesh()
+    m.data = MeshData(
+        positions=np.asarray(positions, np.float32),
+        normals=None if normals is None else np.asarray(normals, np.float32),
+        texcoords=None,
+        faces=np.asarray(faces, np.uint32),
+        name=name,
+    )
+    if bsdf is not None:
+        m.add_child(bsdf)
+    if emitter is not None:
+        m.add_child(emitter)
+    m.activate()
+    return m
+
+
+def _bsdf(kind, **kw):
+    pl = PropertyList()
+    for k, v in kw.items():
+        if isinstance(v, float):
+            pl.set_float(k, v)
+        else:
+            pl.set_color(k, v)
+    return create_instance(kind, pl)
+
+
+def _area_light(radiance):
+    pl = PropertyList()
+    pl.set_color("radiance", radiance)
+    return create_instance("area", pl)
+
+
+def cornell_box(width: int = 512, height: int = 512, spp: int = 16,
+                integrator: str = "path_mis", sphere_subdiv: int = 3):
+    """A self-contained Cornell box: diffuse walls, mirror + dielectric
+    spheres, microfacet floor patch, area light."""
+    from nori_tpu.scene import Scene
+    from nori_tpu.core.transform import Transform
+
+    scene = Scene(PropertyList())
+
+    white = _bsdf("diffuse", albedo=[0.725, 0.71, 0.68])
+    red = _bsdf("diffuse", albedo=[0.63, 0.065, 0.05])
+    green = _bsdf("diffuse", albedo=[0.14, 0.45, 0.091])
+
+    # box interior: y up, open toward +z camera; box [-1,1]^3
+    meshes = []
+    v, f = _quad([-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1])  # floor
+    meshes.append(_mesh_obj(v, f, white, name="floor"))
+    v, f = _quad([-1, 2, 1], [1, 2, 1], [1, 2, -1], [-1, 2, -1])  # ceiling
+    meshes.append(_mesh_obj(v, f, white, name="ceiling"))
+    v, f = _quad([-1, 0, -1], [-1, 2, -1], [1, 2, -1], [1, 0, -1])  # back
+    meshes.append(_mesh_obj(v, f, white, name="back"))
+    v, f = _quad([-1, 0, 1], [-1, 2, 1], [-1, 2, -1], [-1, 0, -1])  # left
+    meshes.append(_mesh_obj(v, f, red, name="left"))
+    v, f = _quad([1, 0, -1], [1, 2, -1], [1, 2, 1], [1, 0, 1])  # right
+    meshes.append(_mesh_obj(v, f, green, name="right"))
+
+    # microfacet panel on the back wall
+    v, f = _quad([-0.6, 0.0, -0.999], [-0.6, 0.8, -0.999],
+                 [0.6, 0.8, -0.999], [0.6, 0.0, -0.999])
+    meshes.append(_mesh_obj(
+        v, f, _bsdf("microfacet", alpha=0.2, kd=[0.3, 0.3, 0.25]),
+        name="panel"))
+
+    # spheres: mirror and glass
+    pos, fcs, nrm = _icosphere([-0.45, 0.35, 0.1], 0.35, sphere_subdiv)
+    meshes.append(_mesh_obj(pos, fcs, _bsdf("mirror"), normals=nrm,
+                            name="mirror_sphere"))
+    pos, fcs, nrm = _icosphere([0.45, 0.35, 0.35], 0.35, sphere_subdiv)
+    meshes.append(_mesh_obj(pos, fcs, _bsdf("dielectric"), normals=nrm,
+                            name="glass_sphere"))
+
+    # area light just below the ceiling
+    v, f = _quad([-0.3, 1.999, 0.3], [0.3, 1.999, 0.3],
+                 [0.3, 1.999, -0.3], [-0.3, 1.999, -0.3])
+    meshes.append(_mesh_obj(
+        v, f, _bsdf("diffuse", albedo=[0.0, 0.0, 0.0]),
+        emitter=_area_light([17.0, 12.0, 4.0]), name="light"))
+
+    for m in meshes:
+        scene.add_child(m)
+
+    cam_pl = PropertyList()
+    cam_pl.set_integer("width", width)
+    cam_pl.set_integer("height", height)
+    cam_pl.set_float("fov", 40.0)
+    cam_pl.set_transform(
+        "toWorld", Transform.lookat([0, 1.0, 3.9], [0, 1.0, 0], [0, 1, 0])
+    )
+    cam = create_instance("perspective", cam_pl)
+    cam.activate()
+    scene.add_child(cam)
+
+    samp_pl = PropertyList()
+    samp_pl.set_integer("sampleCount", spp)
+    scene.add_child(create_instance("independent", samp_pl))
+
+    scene.add_child(create_instance(integrator, PropertyList()))
+    scene.activate()
+    return scene
