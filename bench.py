@@ -25,8 +25,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from nori_tpu.film import FilmSpec, new_accumulator
-    from nori_tpu.render import make_sample_pass
+    from nori_tpu.wavefront import render_wavefront
 
     if os.path.exists(REF_CBOX):
         from nori_tpu import load_from_xml
@@ -37,39 +36,12 @@ def main():
 
         scene = cornell_box(width=800, height=600, spp=16)
 
+    # warm the tunnel + compile with a short render, then measure
     sd = scene.compile()
-    scene.integrator.preprocess(scene)
-    cam = scene.camera
-    spec = FilmSpec.for_filter(cam.width, cam.height, cam.rfilter)
-    batch = 131072
-    fn = jax.jit(make_sample_pass(scene, spec, batch))
-
-    # warm the tunnel + compile
     float(jnp.sum(sd.tri_v0))
-    accum = new_accumulator(spec)
-    accum, dropped, rays = fn(
-        sd, accum, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0)
-    )
-    int(rays)
-
-    # timed passes
-    n_pixels = cam.width * cam.height
-    n_batches = (n_pixels + batch - 1) // batch
-    spp = 4
-    total_rays = 0
-    t0 = time.time()
-    ray_handles = []
-    for s in range(spp):
-        for b in range(n_batches):
-            accum, dropped, rays = fn(
-                sd, accum, jnp.uint32(1), jnp.uint32(s),
-                jnp.uint32(b * batch),
-            )
-            ray_handles.append(rays)
-    total_rays = int(np.sum([int(r) for r in ray_handles]))
-    dt = time.time() - t0
-
-    mrays = total_rays / dt / 1e6
+    render_wavefront(scene, spp=2, n_lanes=131072, seed=0)
+    img, stats = render_wavefront(scene, spp=16, n_lanes=131072, seed=1)
+    mrays = stats["mrays_per_sec"]
     print(json.dumps({
         "metric": "mrays_per_sec",
         "value": round(mrays, 3),

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: brute-force Möller–Trumbore intersection.
+"""Pallas TPU kernel: culled brute-force Möller–Trumbore intersection.
 
 The reference's per-ray BVH walk maps badly to TPU (per-lane dynamic
 addressing -> serialized XLA gathers/scatters).  For the scene sizes the
@@ -12,11 +12,22 @@ dense ray x triangle sweep shaped like a matmul:
   grid is sequential over the last axis, so the scratch accumulates
   across triangle tiles and is flushed on the final tile.
 
+Tile culling: each (ray-tile, tri-tile) pair first tests the tri tile's
+AABB (triangles are BVH-reordered at scene compile, so tiles are
+spatially coherent) against the ray tile's conservative reach — an
+interval-arithmetic box spanned by the tile's origins and directions up
+to t_hi = max over lanes of min(best_t, maxt, dist-to-scene bound).
+best_t shrinks as earlier tiles hit, so later tiles are pruned entirely
+(@pl.when skips the 45-flop MT block).  Coherent ray tiles (primary,
+shadow) prune most of the scene; incoherent bounce tiles degrade to the
+dense sweep.
+
 Triangle test semantics match src/mesh.cpp:51-88 exactly (det cutoff
 1e-8, u in [0,1], v >= 0, u+v <= 1, t in [mint, maxt]).
 
 Layouts: tris packed (9, T) = [v0|e1|e2] x [x,y,z]; rays packed (8, N) =
-[ox,oy,oz,dx,dy,dz,mint,maxt]; all padded to tile multiples.
+[ox,oy,oz,dx,dy,dz,mint,maxt]; tile bounds (T/TILE_T, 8) =
+[bmin|bmax|pad]; all padded to tile multiples.
 """
 
 from __future__ import annotations
@@ -30,70 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 256   # rays per tile (sublane-major)
 TILE_T = 512   # triangles per tile (lane-major)
-NEG = -1.0
 
 
-def _mt_kernel(tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
-               bt_ref, bi_ref, bu_ref, bv_ref, *, any_hit: bool):
+def _mt_kernel(scene_ref, tb_ref, tri_ref, ray_ref,
+               t_ref, idx_ref, u_ref, v_ref,
+               bt_ref, bi_ref, bu_ref, bv_ref, *, cull: bool):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
     rays = ray_ref[:, :]        # (8, TILE_N)
-    tris = tri_ref[:, :]        # (9, TILE_T)
 
     def col(i):  # ray scalar component as (TILE_N, 1)
         return rays[i, :].reshape(TILE_N, 1)
 
-    def trow(i):  # tri component as (1, TILE_T)
-        return tris[i, :].reshape(1, TILE_T)
-
     ox, oy, oz = col(0), col(1), col(2)
     dx, dy, dz = col(3), col(4), col(5)
     mint, maxt = col(6), col(7)
-    v0x, v0y, v0z = trow(0), trow(1), trow(2)
-    e1x, e1y, e1z = trow(3), trow(4), trow(5)
-    e2x, e2y, e2z = trow(6), trow(7), trow(8)
-
-    # pvec = d x e2  -> (TILE_N, TILE_T) per component
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    ok = jnp.abs(det) > 1e-8
-    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    # qvec = tvec x e1
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    hit = (
-        ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t >= mint) & (t <= maxt)
-    )
-
-    tm = jnp.where(hit, t, jnp.inf)          # (TILE_N, TILE_T)
-    tile_min = jnp.min(tm, axis=1, keepdims=True)
-    is_min = (tm == tile_min) & hit
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_T), 1)
-    # break ties toward the lowest lane index (cumsum is unsupported in
-    # Mosaic, so use a min-reduce over masked lane ids instead)
-    min_lane = jnp.min(
-        jnp.where(is_min, lane, jnp.int32(TILE_T)), axis=1, keepdims=True
-    )
-    first = is_min & (lane == min_lane)
-    fsel = first.astype(jnp.float32)
-    sel_idx = jnp.sum(
-        jnp.where(first, lane, 0), axis=1
-    ) + j * TILE_T
-    sel_u = jnp.sum(u * fsel, axis=1)
-    sel_v = jnp.sum(v * fsel, axis=1)
-    tile_min1 = tile_min[:, 0]
 
     @pl.when(j == 0)
     def _init():
@@ -102,11 +65,100 @@ def _mt_kernel(tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
         bu_ref[0, :] = jnp.zeros((TILE_N,), jnp.float32)
         bv_ref[0, :] = jnp.zeros((TILE_N,), jnp.float32)
 
-    better = tile_min1 < bt_ref[0, :]
-    bt_ref[0, :] = jnp.where(better, tile_min1, bt_ref[0, :])
-    bi_ref[0, :] = jnp.where(better, sel_idx, bi_ref[0, :])
-    bu_ref[0, :] = jnp.where(better, sel_u, bu_ref[0, :])
-    bv_ref[0, :] = jnp.where(better, sel_v, bv_ref[0, :])
+    if cull:
+        # conservative ray-tile reach vs this tri tile's AABB
+        cx = scene_ref[0, 0]
+        cy = scene_ref[0, 1]
+        cz = scene_ref[0, 2]
+        half_diag = scene_ref[0, 3]
+        live = (mint <= maxt)
+        big = jnp.float32(3e37)
+        dist_c = jnp.sqrt(
+            (ox - cx) ** 2 + (oy - cy) ** 2 + (oz - cz) ** 2
+        )
+        t_cap = jnp.minimum(
+            jnp.minimum(bt_ref[0, :].reshape(TILE_N, 1), maxt),
+            dist_c + half_diag,
+        )
+        t_hi = jnp.max(jnp.where(live, t_cap, 0.0))
+        t_hi = jnp.maximum(t_hi, 0.0)
+
+        def axis_reach(o_c, d_c):
+            o_lo = jnp.min(jnp.where(live, o_c, big))
+            o_hi = jnp.max(jnp.where(live, o_c, -big))
+            d_lo = jnp.min(jnp.where(live, d_c, 0.0))
+            d_hi = jnp.max(jnp.where(live, d_c, 0.0))
+            lo = o_lo + t_hi * jnp.minimum(d_lo, 0.0)
+            hi = o_hi + t_hi * jnp.maximum(d_hi, 0.0)
+            return lo, hi
+
+        rxl, rxh = axis_reach(ox, dx)
+        ryl, ryh = axis_reach(oy, dy)
+        rzl, rzh = axis_reach(oz, dz)
+        overlap = (
+            (rxh >= tb_ref[j, 0]) & (rxl <= tb_ref[j, 3])
+            & (ryh >= tb_ref[j, 1]) & (ryl <= tb_ref[j, 4])
+            & (rzh >= tb_ref[j, 2]) & (rzl <= tb_ref[j, 5])
+        )
+    else:
+        overlap = True
+
+    @pl.when(overlap)
+    def _compute():
+        tris = tri_ref[:, :]        # (9, TILE_T)
+
+        def trow(i):  # tri component as (1, TILE_T)
+            return tris[i, :].reshape(1, TILE_T)
+
+        v0x, v0y, v0z = trow(0), trow(1), trow(2)
+        e1x, e1y, e1z = trow(3), trow(4), trow(5)
+        e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+        # pvec = d x e2  -> (TILE_N, TILE_T) per component
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-8
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= mint) & (t <= maxt)
+        )
+
+        tm = jnp.where(hit, t, jnp.inf)          # (TILE_N, TILE_T)
+        tile_min = jnp.min(tm, axis=1, keepdims=True)
+        is_min = (tm == tile_min) & hit
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_T), 1)
+        # break ties toward the lowest lane index (cumsum is unsupported
+        # in Mosaic, so use a min-reduce over masked lane ids instead)
+        min_lane = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(TILE_T)), axis=1,
+            keepdims=True,
+        )
+        first = is_min & (lane == min_lane)
+        fsel = first.astype(jnp.float32)
+        sel_idx = jnp.sum(jnp.where(first, lane, 0), axis=1) + j * TILE_T
+        sel_u = jnp.sum(u * fsel, axis=1)
+        sel_v = jnp.sum(v * fsel, axis=1)
+        tile_min1 = tile_min[:, 0]
+
+        better = tile_min1 < bt_ref[0, :]
+        bt_ref[0, :] = jnp.where(better, tile_min1, bt_ref[0, :])
+        bi_ref[0, :] = jnp.where(better, sel_idx, bi_ref[0, :])
+        bu_ref[0, :] = jnp.where(better, sel_u, bu_ref[0, :])
+        bv_ref[0, :] = jnp.where(better, sel_v, bv_ref[0, :])
 
     @pl.when(j == n_j - 1)
     def _flush():
@@ -116,9 +168,12 @@ def _mt_kernel(tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
         v_ref[0, :] = bv_ref[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
-    """tris_packed: (9, T); rays_packed: (8, N); T, N tile multiples.
+@functools.partial(jax.jit, static_argnames=("any_hit", "cull"))
+def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
+             any_hit: bool = False, cull: bool = True):
+    """tris_packed: (9, T); tile_bounds: (T/TILE_T, 8);
+    scene_bounds: (1, 8) = [cx, cy, cz, half_diag, ...];
+    rays_packed: (8, N); T, N tile multiples.
 
     Returns (t, idx, u, v) each (N,); idx == -1 -> miss.
     """
@@ -126,7 +181,7 @@ def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
     _, N = rays_packed.shape
     grid = (N // TILE_N, T // TILE_T)
 
-    kernel = functools.partial(_mt_kernel, any_hit=any_hit)
+    kernel = functools.partial(_mt_kernel, cull=cull)
     interpret = jax.default_backend() == "cpu"
     out_shapes = [
         jax.ShapeDtypeStruct((1, N), jnp.float32),
@@ -142,6 +197,8 @@ def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((9, TILE_T), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE_N), lambda i, j: (0, i),
@@ -160,7 +217,7 @@ def mt_sweep(tris_packed, rays_packed, any_hit: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tris_packed, rays_packed)
+    )(scene_bounds, tile_bounds, tris_packed, rays_packed)
     return t[0], idx[0], u[0], v[0]
 
 

@@ -214,7 +214,9 @@ def _intersect_pallas(scene, o, d, mint, maxt) -> Hit:
     from nori_tpu.accel.pallas_mt import mt_sweep, pack_rays
 
     rays, n = pack_rays(o, d, mint, maxt)
-    t, idx, u, v = mt_sweep(scene.tri_packed, rays)
+    t, idx, u, v = mt_sweep(
+        scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds, rays
+    )
     return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n], u=u[:n], v=v[:n])
 
 

@@ -83,19 +83,28 @@ def splat(spec: FilmSpec, rfilter, accum, positions, values):
     wy = jnp.where(ty.astype(jnp.float32) <= p[:, 1:2] + spec.radius, wy, 0.0)
     wx = jnp.where(valid[:, None], wx, 0.0)
 
-    # rgba contribution: (N, K, K, 4)
-    rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=-1)
-    w2d = wx[:, None, :] * wy[:, :, None]  # (N, Ky, Kx)
-    contrib = w2d[..., None] * rgba[:, None, None, :]
-
-    tyb = jnp.broadcast_to(ty[:, :, None], w2d.shape)
-    txb = jnp.broadcast_to(tx[:, None, :], w2d.shape)
-    # clip handling: out-of-image taps are dropped (reference clips the
-    # window to the block; border absorbs in-range taps)
-    accum = accum.at[tyb.ravel(), txb.ravel()].add(
-        contrib.reshape(-1, 4), mode="drop"
-    )
-    return accum, n_dropped
+    # One flat 1-D scatter per filter tap.  TPU note: an (N, K, K, 4)
+    # contribution tensor pads its minor dims onto (8, 128) tiles — a
+    # 41x memory blowup — so taps are scattered individually into the
+    # flattened film with channel-interleaved indices instead.
+    hp, wp, _ = spec.padded_shape
+    rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=-1)  # (N, 4)
+    flat = accum.reshape(-1)
+    n = positions.shape[0]
+    ch = jnp.arange(4, dtype=jnp.int32)
+    for ky in range(K):
+        yy = ty[:, ky]
+        in_y = (yy >= 0) & (yy < hp)
+        for kx in range(K):
+            xx = tx[:, kx]
+            w2 = wx[:, kx] * wy[:, ky]
+            ok = in_y & (xx >= 0) & (xx < wp) & (w2 != 0.0)
+            base = (yy * wp + xx) * 4
+            base = jnp.where(ok, base, jnp.int32(hp * wp * 4))
+            idx = (base[:, None] + ch[None, :]).reshape(-1)
+            upd = (rgba * w2[:, None]).reshape(-1)
+            flat = flat.at[idx].add(upd, mode="drop")
+    return flat.reshape(accum.shape), n_dropped
 
 
 def to_bitmap(spec: FilmSpec, accum) -> jnp.ndarray:

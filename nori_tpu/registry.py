@@ -40,8 +40,7 @@ def register_class(name: str):
     """Decorator: `@register_class("diffuse")` — mirrors NORI_REGISTER_CLASS."""
 
     def deco(cls):
-        if name in _registry and _registry[name] is not cls:
-            raise NoriError(f"A class named '{name}' is already registered")
+        # later registrations (e.g. module reloads) replace earlier ones
         _registry[name] = cls
         cls.plugin_name = name
         return cls

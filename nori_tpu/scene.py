@@ -45,6 +45,8 @@ class SceneData(NamedTuple):
     tri_uv2: jnp.ndarray  # (T, 2)
     tri_mesh: jnp.ndarray  # (T,) int32 mesh id
     tri_packed: jnp.ndarray  # (9, T) [v0|e1|e2] layout for the MT sweep kernel
+    tri_tile_bounds: jnp.ndarray  # (T/TILE_T, 8) per-tile AABBs for culling
+    scene_bounds: jnp.ndarray  # (1, 8) [center xyz, half-diag, ...]
 
     bsdf: BSDFTable        # per-mesh BSDF params
 
@@ -208,6 +210,31 @@ class Scene(NoriObject):
                 [tri_mesh, np.zeros(pad, dtype=np.int32)]
             )
 
+        # --- per-tile AABBs for sweep-kernel culling ------------------------
+        from nori_tpu.accel.pallas_mt import TILE_T
+        t_padded = v0.shape[0]
+        n_tiles = t_padded // TILE_T
+        tile_bounds = np.zeros((n_tiles, 8), dtype=np.float32)
+        p1f = v0 + e1
+        p2f = v0 + e2
+        for ti in range(n_tiles):
+            lo = ti * TILE_T
+            hi = min(lo + TILE_T, n_tris)  # exclude padded rows
+            if hi <= lo:
+                tile_bounds[ti, 0:3] = np.inf
+                tile_bounds[ti, 3:6] = -np.inf
+                continue
+            sl = slice(lo, hi)
+            tile_bounds[ti, 0:3] = np.minimum(
+                np.minimum(v0[sl].min(0), p1f[sl].min(0)), p2f[sl].min(0))
+            tile_bounds[ti, 3:6] = np.maximum(
+                np.maximum(v0[sl].max(0), p1f[sl].max(0)), p2f[sl].max(0))
+        center = 0.5 * (bbox_min + bbox_max)
+        half_diag = 0.5 * float(np.linalg.norm(bbox_max - bbox_min)) + 1e-3
+        scene_bounds_row = np.zeros((1, 8), dtype=np.float32)
+        scene_bounds_row[0, 0:3] = center
+        scene_bounds_row[0, 3] = half_diag
+
         # --- per-mesh tables -----------------------------------------------
         bsdf_table = BSDFTable.build([m.bsdf for m in self.meshes])
         em_rad = np.zeros((len(self.meshes), 3), dtype=np.float32)
@@ -247,6 +274,8 @@ class Scene(NoriObject):
             tri_packed=jnp.asarray(
                 np.concatenate([v0.T, e1.T, e2.T], axis=0)
             ),
+            tri_tile_bounds=jnp.asarray(tile_bounds),
+            scene_bounds=jnp.asarray(scene_bounds_row),
             bsdf=bsdf_table,
             em_radiance=jnp.asarray(em_rad),
             mesh_emissive=jnp.asarray(em_mask),

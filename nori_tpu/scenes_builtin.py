@@ -110,22 +110,22 @@ def cornell_box(width: int = 512, height: int = 512, spp: int = 16,
     red = _bsdf("diffuse", albedo=[0.63, 0.065, 0.05])
     green = _bsdf("diffuse", albedo=[0.14, 0.45, 0.091])
 
-    # box interior: y up, open toward +z camera; box [-1,1]^3
+    # box interior: y up, open toward +z camera; interior-facing windings
     meshes = []
-    v, f = _quad([-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1])  # floor
+    v, f = _quad([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1])  # floor +y
     meshes.append(_mesh_obj(v, f, white, name="floor"))
-    v, f = _quad([-1, 2, 1], [1, 2, 1], [1, 2, -1], [-1, 2, -1])  # ceiling
+    v, f = _quad([-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1])  # ceiling -y
     meshes.append(_mesh_obj(v, f, white, name="ceiling"))
-    v, f = _quad([-1, 0, -1], [-1, 2, -1], [1, 2, -1], [1, 0, -1])  # back
+    v, f = _quad([-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1])  # back +z
     meshes.append(_mesh_obj(v, f, white, name="back"))
-    v, f = _quad([-1, 0, 1], [-1, 2, 1], [-1, 2, -1], [-1, 0, -1])  # left
+    v, f = _quad([-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1])  # left +x
     meshes.append(_mesh_obj(v, f, red, name="left"))
-    v, f = _quad([1, 0, -1], [1, 2, -1], [1, 2, 1], [1, 0, 1])  # right
+    v, f = _quad([1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1])  # right -x
     meshes.append(_mesh_obj(v, f, green, name="right"))
 
-    # microfacet panel on the back wall
-    v, f = _quad([-0.6, 0.0, -0.999], [-0.6, 0.8, -0.999],
-                 [0.6, 0.8, -0.999], [0.6, 0.0, -0.999])
+    # microfacet panel on the back wall (+z facing)
+    v, f = _quad([-0.6, 0.0, -0.999], [0.6, 0.0, -0.999],
+                 [0.6, 0.8, -0.999], [-0.6, 0.8, -0.999])
     meshes.append(_mesh_obj(
         v, f, _bsdf("microfacet", alpha=0.2, kd=[0.3, 0.3, 0.25]),
         name="panel"))
@@ -138,9 +138,9 @@ def cornell_box(width: int = 512, height: int = 512, spp: int = 16,
     meshes.append(_mesh_obj(pos, fcs, _bsdf("dielectric"), normals=nrm,
                             name="glass_sphere"))
 
-    # area light just below the ceiling
-    v, f = _quad([-0.3, 1.999, 0.3], [0.3, 1.999, 0.3],
-                 [0.3, 1.999, -0.3], [-0.3, 1.999, -0.3])
+    # area light just below the ceiling (-y facing)
+    v, f = _quad([-0.3, 1.999, -0.3], [0.3, 1.999, -0.3],
+                 [0.3, 1.999, 0.3], [-0.3, 1.999, 0.3])
     meshes.append(_mesh_obj(
         v, f, _bsdf("diffuse", albedo=[0.0, 0.0, 0.0]),
         emitter=_area_light([17.0, 12.0, 4.0]), name="light"))

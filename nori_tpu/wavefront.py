@@ -1,0 +1,464 @@
+"""Persistent-wavefront path tracing with lane regeneration.
+
+The plain wavefront loop (integrators/path.py) runs every depth
+iteration at full lane width even though Russian roulette kills most
+paths after a few bounces — by depth 20 under 5% of lanes are alive but
+each iteration still pays two full intersection sweeps.  This module is
+the production renderer: a fixed pool of N lanes processes a chunk of Q
+sample work-items; whenever a lane's path terminates it immediately
+pulls the next work item (new camera ray) from a device-side counter,
+so intersection sweeps always run near full occupancy.  This is the
+TPU analogue of persistent-threads megakernels on GPUs and replaces the
+reference's tile/thread scheduling (src/main.cpp:95-121).
+
+Scheduling: the step body is ONE jitted function advanced from the
+host with donated state (on the axon-tunneled TPU platform,
+`lax.while_loop` pays a per-iteration host round-trip that grows with
+program size, so host stepping with an occupancy check every few
+iterations is strictly faster).  Radiance results are scatter-added
+into a per-work-item buffer; the film splat happens once per chunk.
+
+Determinism: lanes key the counter-based RNG by global sample id, so
+results are independent of lane scheduling, batching and device count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nori_tpu.core.vecmath import EPSILON, dot, make_frame, to_local, to_world
+from nori_tpu.core import rng
+from nori_tpu.bsdf import eval_bsdf, pdf_bsdf, sample_bsdf, E_DISCRETE
+from nori_tpu.accel.traverse import intersect, occluded
+from nori_tpu.interaction import fill_interaction
+from nori_tpu.integrators.base import (
+    emitted_radiance, sample_emitter_point, shadow_ray_args,
+)
+from nori_tpu.integrators.path import MATS, EMS, MIS, RR_START, RR_MAX
+from nori_tpu.render import JITTER_STREAM
+
+MAX_DEPTH = 48
+#: host checks pool occupancy every this many steps (each check is a
+#: device->host sync, ~100 ms through the axon tunnel)
+CHECK_EVERY = 16
+#: when occupancy falls below n_lanes/SHRINK_FACTOR the pool is packed
+#: into a SHRINK_FACTOR-x smaller stepper so the drain tail (stragglers
+#: bouncing to max depth with no work left to regenerate) doesn't pay
+#: full-width sweeps
+SHRINK_FACTOR = 8
+
+
+def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
+                           max_depth: int = MAX_DEPTH,
+                           sort_rays: bool | None = None):
+    """Build (init, step, n_active) jitted functions.
+
+    carry = (state dict, next_q, L_out (chunk, 3), rays, q_hi);
+    work item q in [q0, q_hi) renders sample (q % spp) of pixel
+    (q // spp).
+    """
+    cam = scene.camera
+    w, h = cam.output_size
+    spp = scene.sampler.sample_count
+    cam_params = cam.ray_params()
+    use_nee = mode in (EMS, MIS)
+    N = n_lanes
+    if sort_rays is None:
+        # coherence sorting only pays off when the sweep has enough
+        # triangle tiles for culling to prune (cost ~7 ms/step)
+        sort_rays = scene.compile().tri_tile_bounds.shape[0] >= 16
+
+    def camera_ray(seed, q):
+        pix = jnp.minimum(q // jnp.uint32(spp), jnp.uint32(w * h - 1))
+        jitter = rng.uniform2(seed, q, jnp.uint32(JITTER_STREAM))
+        px = (pix % w).astype(jnp.float32)
+        py = (pix // w).astype(jnp.float32)
+        pos = jnp.stack([px, py], axis=-1) + jitter
+        return type(cam).sample_rays(cam_params, pos)
+
+    @jax.jit
+    def init(seed, q0, q_end):
+        q_hi = jnp.minimum(q0 + jnp.uint32(chunk), q_end)
+        q = q0 + jnp.arange(N, dtype=jnp.uint32)
+        active = q < q_hi
+        o, d, mint, maxt = camera_ray(seed, q)
+        state = dict(
+            q=q, q0=jnp.broadcast_to(q0, ()), active=active,
+            depth=jnp.zeros((N,), jnp.int32),
+            o=o, d=d, mint=mint, maxt=maxt,
+            beta=jnp.ones((N, 3), jnp.float32),
+            L=jnp.zeros((N, 3), jnp.float32),
+            spec=jnp.ones((N,), bool),
+            prev_pdf=jnp.zeros((N,), jnp.float32),
+        )
+        return (
+            state, q0 + jnp.uint32(N),
+            jnp.zeros((chunk, 3), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            q_hi,
+        )
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(sd, carry, seed):
+        st, next_q, L_out, rays, q_hi = carry
+        q, active, depth = st["q"], st["active"], st["depth"]
+        q0 = st["q0"]
+        o, d, mint, maxt = st["o"], st["d"], st["mint"], st["maxt"]
+        beta, L = st["beta"], st["L"]
+        spec, prev_pdf = st["spec"], st["prev_pdf"]
+
+        rays = rays + jnp.sum(active, dtype=jnp.int32)
+        hit = intersect(sd, o, d, mint, maxt)
+        its = fill_interaction(sd, hit, o, d)
+        live_hit = active & its.valid
+
+        # ---- emitter hit --------------------------------------------
+        le = emitted_radiance(sd, its)
+        if mode == MATS:
+            w_em = jnp.ones((N,), jnp.float32)
+        elif mode == EMS:
+            w_em = spec.astype(jnp.float32)
+        else:
+            cos_y = dot(its.sh_n, its.wi_world)
+            p_light_sa = jnp.where(
+                (sd.em_area > 0.0) & (cos_y > 1e-8),
+                (its.t * its.t) / (sd.em_area * jnp.maximum(cos_y, 1e-8)),
+                0.0,
+            )
+            w_em = jnp.where(
+                spec, 1.0,
+                prev_pdf / jnp.maximum(prev_pdf + p_light_sa, 1e-20),
+            )
+        L = L + jnp.where(live_hit[:, None], beta * le * w_em[:, None], 0.0)
+
+        frame = make_frame(its.sh_n)
+        wi_local = to_local(frame, its.wi_world)
+        params = sd.bsdf.gather(its.mesh)
+        du = depth.astype(jnp.uint32) * jnp.uint32(8)
+
+        # ---- next-event estimation ----------------------------------
+        if use_nee:
+            u_pick = rng.uniform(seed, q, du + jnp.uint32(1))
+            u2 = rng.uniform2(seed, q, du + jnp.uint32(2))
+            y, n_y, le_y, pdf_area = sample_emitter_point(sd, u_pick, u2)
+            wo_w, dist, smint, smaxt = shadow_ray_args(its.p, y)
+            cos_l = dot(n_y, -wo_w)
+            wo_local = to_local(frame, wo_w)
+            f = eval_bsdf(params, wi_local, wo_local)
+            p_light_sa = jnp.where(
+                cos_l > 1e-8,
+                pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8),
+                0.0,
+            )
+            ok = (cos_l > 1e-8) & (p_light_sa > 0.0) & live_hit
+            # degenerate interval for idle lanes: keeps the sweep
+            # kernel's ray-tile culling bounds tight
+            smaxt = jnp.where(ok, smaxt, -1.0)
+            vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
+            rays = rays + jnp.sum(live_hit, dtype=jnp.int32)
+            if mode == MIS:
+                p_b = pdf_bsdf(params, wi_local, wo_local)
+                w_l = p_light_sa / jnp.maximum(p_light_sa + p_b, 1e-20)
+            else:
+                w_l = jnp.ones((N,), jnp.float32)
+            contrib = (
+                beta * f * le_y
+                * (wo_local[..., 2] / jnp.maximum(p_light_sa, 1e-20)
+                   * w_l * vis)[:, None]
+            )
+            L = L + jnp.where((ok & vis)[:, None], contrib, 0.0)
+
+        # ---- Russian roulette + BSDF sampling -----------------------
+        alive = live_hit
+        u_rr = rng.uniform(seed, q, du + jnp.uint32(5))
+        rr_q = jnp.minimum(jnp.max(beta, axis=-1), RR_MAX)
+        rr_q = jnp.where(depth >= RR_START, rr_q, 1.0)
+        alive = alive & (u_rr < rr_q)
+        beta = beta / jnp.maximum(rr_q, 1e-8)[:, None]
+
+        u_lobe = rng.uniform(seed, q, du + jnp.uint32(3))
+        u_dir = rng.uniform2(seed, q, du + jnp.uint32(4))
+        s = sample_bsdf(params, wi_local, u_lobe, u_dir)
+        beta = beta * s.weight
+        alive = alive & (jnp.max(s.weight, axis=-1) > 0.0)
+        alive = alive & (depth + 1 < max_depth)
+
+        # ---- terminate & flush --------------------------------------
+        done = active & ~alive
+        slot = jnp.where(done, (q - q0).astype(jnp.int32), chunk)
+        L_out = L_out.at[slot].add(
+            jnp.where(done[:, None], L, 0.0), mode="drop"
+        )
+
+        # ---- regenerate ---------------------------------------------
+        ranks = jnp.cumsum(done.astype(jnp.uint32)) - done
+        new_q = next_q + ranks
+        next_q = next_q + jnp.sum(done, dtype=jnp.uint32)
+        regen = done & (new_q < q_hi)
+        q = jnp.where(done, new_q, q)
+        active = jnp.where(done, regen, active)
+
+        co, cd, cmint, cmaxt = camera_ray(seed, q)
+        o = jnp.where(regen[:, None], co, its.p)
+        d = jnp.where(regen[:, None], cd, to_world(frame, s.wo))
+        mint = jnp.where(regen, cmint, EPSILON)
+        maxt = jnp.where(regen, cmaxt, 1e30)
+        # idle lanes get an empty interval so they don't inflate the
+        # sweep kernel's ray-tile culling bounds
+        mint = jnp.where(active, mint, 1.0)
+        maxt = jnp.where(active, maxt, -1.0)
+        depth = jnp.where(regen, 0, depth + 1)
+        beta = jnp.where(regen[:, None], 1.0, beta)
+        L = jnp.where(regen[:, None], 0.0, L)
+        spec = jnp.where(regen, True, s.measure == E_DISCRETE)
+        prev_pdf = jnp.where(regen, 0.0, s.pdf)
+
+        st = dict(
+            q=q, q0=q0, active=active, depth=depth, o=o, d=d,
+            mint=mint, maxt=maxt, beta=beta, L=L, spec=spec,
+            prev_pdf=prev_pdf,
+        )
+
+        # ---- coherence sort -----------------------------------------
+        # The sweep kernel culls triangle tiles per RAY TILE, so lanes
+        # are re-ordered every step by (origin morton cell, direction
+        # octant): bounce rays regain spatial coherence and the culling
+        # prunes most tiles for them too.
+        if not sort_rays:
+            return (st, next_q, L_out, rays, q_hi)
+        span = jnp.maximum(sd.bbox_max - sd.bbox_min, 1e-12)
+        cell = jnp.clip(
+            ((o - sd.bbox_min) / span * 64.0).astype(jnp.int32), 0, 63
+        )
+        mx, my, mz = cell[:, 0], cell[:, 1], cell[:, 2]
+
+        def _spread(b):
+            b = (b | (b << 16)) & 0x030000FF
+            b = (b | (b << 8)) & 0x0300F00F
+            b = (b | (b << 4)) & 0x030C30C3
+            b = (b | (b << 2)) & 0x09249249
+            return b
+
+        morton = _spread(mx) | (_spread(my) << 1) | (_spread(mz) << 2)
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32)
+        )
+        key = (morton << 3) | octant
+        key = jnp.where(active, key, jnp.int32(1 << 30))
+        perm = jnp.argsort(key)
+        st = {
+            k: (v[perm] if getattr(v, "ndim", 0) >= 1 else v)
+            for k, v in st.items()
+        }
+        return (st, next_q, L_out, rays, q_hi)
+
+    @jax.jit
+    def n_active(carry):
+        return jnp.sum(carry[0]["active"], dtype=jnp.int32)
+
+    return init, step, n_active
+
+
+def make_shrink(n_from: int, n_to: int):
+    """Pack the <= n_to active lanes of an n_from-wide carry into an
+    n_to-wide carry (same chunk buffers)."""
+
+    @jax.jit
+    def shrink(carry):
+        st, next_q, L_out, rays, q_hi = carry
+        active = st["active"]
+        rank = jnp.cumsum(active.astype(jnp.int32)) - active
+        src = jnp.zeros((n_to,), jnp.int32)
+        src = src.at[jnp.where(active, rank, n_to)].set(
+            jnp.arange(n_from, dtype=jnp.int32), mode="drop"
+        )
+        count = jnp.sum(active, dtype=jnp.int32)
+        small_active = jnp.arange(n_to, dtype=jnp.int32) < count
+        new_st = {}
+        for k, v in st.items():
+            if v.ndim == 0:
+                new_st[k] = v
+            else:
+                new_st[k] = v[src]
+        new_st["active"] = small_active
+        return (new_st, next_q, L_out, rays, q_hi)
+
+    return shrink
+
+
+def run_chunk(steppers, sd, seed, q0, q_end,
+              check_every: int = CHECK_EVERY, max_iters: int = 100000):
+    """Drive one chunk to completion; returns (L_out, rays).
+
+    steppers = (init, step, n_active, shrink, small_step, small_n_active)
+    — the pool is packed into the SHRINK_FACTOR-x smaller stepper once
+    occupancy drops, so the drain tail costs narrow sweeps.
+    """
+    init, step, n_act, shrink, small_step, small_n_act = steppers
+    carry = init(seed, q0, q_end)
+    it = 0
+    small = False
+    while it < max_iters:
+        cur_step = small_step if small else step
+        for _ in range(check_every):
+            carry = cur_step(sd, carry, seed)
+            it += 1
+        n = int((small_n_act if small else n_act)(carry))
+        if n == 0:
+            break
+        if not small and shrink is not None \
+                and n <= carry[0]["active"].shape[0] // SHRINK_FACTOR:
+            carry = shrink(carry)
+            small = True
+    return carry[2], carry[3]
+
+
+def make_dense_splat(scene, chunk: int):
+    """Scatter-free film splat for pixel-major aligned work chunks.
+
+    Work items are ordered q = pixel * spp + sample, so a chunk covers a
+    contiguous flat-pixel range.  Every sample's filter footprint lies
+    within pixel offsets delta in [ceil(-0.5-r), floor(0.5+r)]; for each
+    of the D*D offsets the weighted contributions reduce densely over
+    the spp axis and add into a contiguous slice of the flat film — no
+    scatters at all (XLA TPU scatters are ~100x slower than this).
+
+    Weight window semantics match ImageBlock::put exactly
+    (src/block.cpp:81-103): tap at pixel px+delta has filter argument
+    delta - jitter + 0.5, windowed at radius r.
+
+    Returns (film_pad (H*W + 2*margin, 4) zeros factory, splat_jit,
+    finalize).
+    """
+    import math
+
+    cam = scene.camera
+    w, h = cam.output_size
+    spp = scene.sampler.sample_count
+    rfilter = cam.rfilter
+    r = float(rfilter.radius)
+    d_lo = math.ceil(-0.5 - r)
+    d_hi = math.floor(0.5 + r)
+    deltas = list(range(d_lo, d_hi + 1))
+    margin = (abs(d_lo) + 1) * w + abs(d_lo) + d_hi + 1
+    npix = chunk // spp
+    assert chunk % spp == 0
+
+    def new_film():
+        return jnp.zeros((w * h + 2 * margin, 4), jnp.float32)
+
+    @jax.jit
+    def splat_chunk(film, L_out, seed, q0, q_end):
+        q = q0 + jnp.arange(chunk, dtype=jnp.uint32)
+        in_range = q < q_end
+        jitter = rng.uniform2(seed, q, jnp.uint32(JITTER_STREAM))
+        jx, jy = jitter[:, 0], jitter[:, 1]
+        rgba = jnp.concatenate(
+            [L_out, jnp.where(in_range, 1.0, 0.0)[:, None]], axis=-1
+        )
+        pix = (q // jnp.uint32(spp)).astype(jnp.int32)
+        x = pix % w
+        p0 = (q0 // jnp.uint32(spp)).astype(jnp.int32)
+
+        wx, wy = [], []
+        for dv in deltas:
+            ax = dv - jx + 0.5
+            ay = dv - jy + 0.5
+            wx.append(jnp.where(jnp.abs(ax) <= r, rfilter.eval(ax), 0.0))
+            wy.append(jnp.where(jnp.abs(ay) <= r, rfilter.eval(ay), 0.0))
+
+        for iy, dy in enumerate(deltas):
+            for ix, dx in enumerate(deltas):
+                wgt = wx[ix] * wy[iy]
+                okx = (x + dx >= 0) & (x + dx < w)
+                wgt = jnp.where(okx & in_range, wgt, 0.0)
+                contrib = (rgba * wgt[:, None]).reshape(npix, spp, 4)
+                contrib = jnp.sum(contrib, axis=1)
+                start = p0 + dy * w + dx + margin
+                seg = jax.lax.dynamic_slice(film, (start, 0), (npix, 4))
+                film = jax.lax.dynamic_update_slice(
+                    film, seg + contrib, (start, 0))
+        return film
+
+    def finalize(film):
+        inner = film[margin:margin + w * h].reshape(h, w, 4)
+        wgt = inner[..., 3:4]
+        return jnp.where(
+            wgt > 0.0, inner[..., :3] / jnp.maximum(wgt, 1e-20), 0.0)
+
+    return new_film, splat_chunk, finalize
+
+
+def render_wavefront(scene, spp: int | None = None, seed: int = 0,
+                     n_lanes: int = 131072, chunk: int | None = None,
+                     verbose: bool = False, sort_rays: bool | None = None):
+    """Render a path-family scene with the persistent wavefront.
+
+    Returns ((H, W, 3) numpy image, stats).
+    """
+    import time
+
+    sd = scene.compile()
+    cam = scene.camera
+    w, h = cam.output_size
+    if spp is not None:
+        scene.sampler.sample_count = spp
+    spp = scene.sampler.sample_count
+    scene.integrator.preprocess(scene)
+    mode = getattr(scene.integrator, "mode", MIS)
+    max_depth = getattr(scene.integrator, "max_depth", MAX_DEPTH)
+
+    total_q = w * h * spp
+    n_lanes = min(n_lanes, max(4096, total_q))
+    if chunk is None:
+        chunk = min(total_q, 16 * n_lanes)
+    chunk = max(spp, (chunk // spp) * spp)
+
+    # cache compiled steppers on the scene (jit caches are per-function
+    # object, so rebuilding them every render recompiles everything)
+    cache_key = (mode, n_lanes, chunk, spp, max_depth, w, h, sort_rays)
+    cache = getattr(scene, "_wf_cache", None)
+    if cache is None or cache[0] != cache_key:
+        init, step, n_act = make_wavefront_stepper(
+            scene, mode, n_lanes, chunk, max_depth, sort_rays)
+        n_small = max(1024, n_lanes // SHRINK_FACTOR)
+        if n_small < n_lanes:
+            shrink = make_shrink(n_lanes, n_small)
+            _, small_step, small_n_act = make_wavefront_stepper(
+                scene, mode, n_small, chunk, max_depth, sort_rays)
+        else:
+            shrink, small_step, small_n_act = None, step, n_act
+        steppers = (init, step, n_act, shrink, small_step, small_n_act)
+        dense = make_dense_splat(scene, chunk)
+        scene._wf_cache = (cache_key, steppers, dense)
+    _, steppers, dense = scene._wf_cache
+    new_film, splat_chunk, finalize = dense
+    film = new_film()
+    seed_arr = jnp.uint32(seed)
+
+    t0 = time.time()
+    ray_handles = []
+    q_end = jnp.uint32(total_q)
+    for q0 in range(0, total_q, chunk):
+        L_out, rays = run_chunk(steppers, sd, seed_arr, jnp.uint32(q0), q_end)
+        film = splat_chunk(film, L_out, seed_arr, jnp.uint32(q0), q_end)
+        ray_handles.append(rays)
+        if verbose:
+            film.block_until_ready()
+            print(f"  chunk {q0 // chunk + 1}/"
+                  f"{(total_q + chunk - 1) // chunk} "
+                  f"({time.time() - t0:.2f}s)")
+    img = np.asarray(jax.device_get(finalize(film)))
+    dt = time.time() - t0
+    total_rays = int(np.sum([int(r) for r in ray_handles]))
+    return img, {
+        "spp": spp, "seconds": dt, "pixels": w * h, "rays": total_rays,
+        "mrays_per_sec": total_rays / max(dt, 1e-9) / 1e6,
+        "samples_per_sec": total_q / max(dt, 1e-9),
+    }
