@@ -1,0 +1,160 @@
+"""Path-graph subsystem tests (SURVEY.md §2.9, L9)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nori_tpu.scenes_builtin import cornell_box
+from nori_tpu.pathgraph.io import (
+    SPOINT_DTYPE, LPOINT_DTYPE, CPATH_DTYPE, AABB_DTYPE,
+    save_path_graph, load_path_graph,
+)
+from nori_tpu.pathgraph.grid import UniformGrid, knn, knn_brute_force
+from nori_tpu.pathgraph.cluster import build_clusters, pad_clusters
+from nori_tpu.pathgraph.dump import trace_dump
+from nori_tpu.pathgraph.bsdfgraph import GraphPoints, eval_graph_bsdf, pdf_graph_bsdf
+
+
+def test_struct_sizes_match_reference_layout():
+    # C struct sizes (shadingPoint.h:125-154, pathgraph.h:23-38)
+    assert SPOINT_DTYPE.itemsize == 168
+    assert LPOINT_DTYPE.itemsize == 44
+    assert CPATH_DTYPE.itemsize == 40
+    assert AABB_DTYPE.itemsize == 56
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    scene = cornell_box(width=32, height=32, spp=1, sphere_subdiv=1)
+    return trace_dump(scene, max_depth=5, batch=1024), scene
+
+
+def test_dump_structure(small_graph):
+    g, scene = small_graph
+    assert g.num_points > 0
+    counts = g.paths["numOfPathPoints"]
+    first = g.paths["firstPathPointIdx"]
+    # contiguity: consecutive paths tile the point array
+    nz = counts > 0
+    assert first[0] == 0
+    assert (first[1:] == first[:-1] + counts[:-1]).all()
+    # nidx semantics: self+1 or 0; last vertex of every path has nidx 0
+    nidx = g.sps["nidx"]
+    own = np.arange(g.num_points)
+    assert ((nidx == 0) | (nidx == own + 1)).all()
+    last = (first[nz] + counts[nz] - 1).astype(np.int64)
+    assert (nidx[last] == 0).all()
+
+
+def test_io_roundtrip(small_graph, tmp_path):
+    g, _ = small_graph
+    base = str(tmp_path / "g")
+    save_path_graph(base, g)
+    g2 = load_path_graph(base)
+    assert g2.num_points == g.num_points
+    assert np.array_equal(g2.sps.tobytes(), g.sps.tobytes())
+    assert np.array_equal(g2.paths.tobytes(), g.paths.tobytes())
+    assert np.array_equal(g2.lps.tobytes(), g.lps.tobytes())
+    assert np.allclose(g2.aabb_min, g.aabb_min)
+    assert g2.fov == g.fov
+
+
+def test_knn_matches_brute_force():
+    rng = np.random.RandomState(0)
+    pos = rng.rand(500, 3).astype(np.float32)
+    dims = np.array([8, 8, 8])
+    grid = UniformGrid(pos, dims, np.zeros(3), np.ones(3))
+    nbr, counts = knn(pos, grid, k=6)
+    ref = knn_brute_force(pos, 6)
+    # slot 0 is self everywhere
+    assert (nbr[:, 0] == np.arange(500)).all()
+    # neighbor SETS should match the oracle for interior points whose
+    # 27-cell window contains their 5 true neighbors
+    agree = 0
+    for i in range(500):
+        agree += len(set(nbr[i]) & set(ref[i])) >= 5
+    assert agree > 450
+
+
+def test_clusters_cover_all_points():
+    rng = np.random.RandomState(1)
+    pos = rng.rand(2000, 3).astype(np.float32)
+    dims = np.array([12, 12, 12])
+    cid, order, offsets = build_clusters(pos, dims, np.zeros(3), np.ones(3), 8)
+    assert len(cid) == 2000
+    assert offsets[-1] == 2000
+    # order sorted by cluster id and consistent with offsets
+    assert (np.sort(order) == np.arange(2000)).all()
+    sizes = np.diff(offsets)
+    assert sizes.max() <= 4 * 8
+    members, msizes = pad_clusters(order, offsets, pad=32)
+    total = msizes.sum()
+    assert total == 2000
+
+
+def test_graph_bsdf_diffuse_matches_formula(small_graph):
+    g, _ = small_graph
+    gp = GraphPoints(g.sps)
+    import jax.numpy as jnp
+    sel = np.nonzero(np.asarray(gp.type) == 0)[0][:64]
+    sub = gp.gather(jnp.asarray(sel))
+    f = np.asarray(eval_graph_bsdf(sub, sub.wi))
+    cos = np.maximum(
+        np.sum(np.asarray(sub.wi) * np.asarray(sub.shN), -1), 0)
+    expect = np.asarray(sub.diffuse) * (cos / np.pi)[:, None]
+    ok = cos > 0
+    assert np.allclose(f[ok], expect[ok], rtol=1e-4, atol=1e-6)
+    p = np.asarray(pdf_graph_bsdf(sub, sub.wi))
+    assert np.allclose(p[ok], (cos / np.pi)[ok], rtol=1e-4, atol=1e-6)
+
+
+def test_estimator_consistency(small_graph):
+    """Average dump radiance (eLi + emission) must approximate the
+    rendered image (the dumps ARE path-tracing estimates)."""
+    g, scene = small_graph
+    from nori_tpu.pathgraph.pg import _splat_first_hits
+    lem = np.asarray(g.lps["L_em"])
+    img, _ = _splat_first_hits(g, np.asarray(g.sps["eLi"]) + lem)
+    from nori_tpu.wavefront import render_wavefront
+    ref, _ = render_wavefront(scene, spp=8, n_lanes=1024)
+    # loose bound: 1 spp dump vs 8 spp render, truncation at depth 5
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.25
+
+
+def test_pg_end_to_end(small_graph, tmp_path):
+    g, _ = small_graph
+    base = str(tmp_path / "pg")
+    save_path_graph(base, g)
+    from nori_tpu.pathgraph import pg as pgmod
+    pgmod.run(base, k=8, iterations=1, mode="opt", verbose=False)
+    for suffix in ["_k-8_direct.exr", "_k-8_direct_o.exr", "_Le_init.exr",
+                   "_k-8_full.exr", "_k-8_indirect.exr",
+                   "_k-8_indirect_pt.exr", "_k-8_indirect_blur.exr"]:
+        assert os.path.exists(base + suffix), suffix
+    from nori_tpu.bitmap import read_exr
+    full = read_exr(base + "_k-8_full.exr")
+    assert np.isfinite(full).all() and full.mean() > 0
+
+
+def test_analysis_jacobi_and_merge(tmp_path):
+    from nori_tpu.pathgraph.analysis import jacobi_iterate
+    import scipy.sparse as sp
+    A = sp.random(50, 50, density=0.1, random_state=0)
+    A = A / (np.abs(A).sum(axis=1).max() * 1.5)  # contraction
+    A = sp.csr_matrix(A)
+    b = np.ones(50)
+    x, hist = jacobi_iterate(A, b, iterations=200)
+    # contraction: converges to (I - A)^-1 b
+    ref = np.linalg.solve(np.eye(50) - A.toarray(), b)
+    assert np.allclose(x, ref, rtol=1e-3, atol=1e-3)
+
+    from nori_tpu.pathgraph.merge import merge_exrs, rmse
+    from nori_tpu.bitmap import write_exr
+    a = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    bimg = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
+    write_exr(str(tmp_path / "a.exr"), a)
+    write_exr(str(tmp_path / "b.exr"), bimg)
+    m = merge_exrs([str(tmp_path / "a.exr"), str(tmp_path / "b.exr")])
+    assert np.allclose(m, (a + bimg) / 2, atol=1e-6)
+    assert rmse(a, a) == 0.0
