@@ -62,6 +62,26 @@ def load_obj(filename: str, to_world: Transform | None = None) -> MeshData:
     if to_world is None:
         to_world = Transform()
 
+    # fast path: native C++ parser (nori_tpu/native), same dedup/quad
+    # semantics; transform applied here either way
+    from nori_tpu import native
+
+    parsed = native.obj_load(str(filename))
+    if parsed is not None:
+        pos, nrm, uv, faces = parsed
+        m = to_world.m
+        pos = (pos.astype(np.float64) @ m[:3, :3].T + m[:3, 3]).astype(
+            np.float32)
+        if nrm is not None:
+            nrm = nrm.astype(np.float64) @ to_world.inv[:3, :3]
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+            nrm = nrm.astype(np.float32)
+        return MeshData(
+            positions=pos, normals=nrm, texcoords=uv,
+            faces=faces.astype(np.uint32), name=str(filename),
+        )
+
     positions: list = []
     texcoords: list = []
     normals: list = []
