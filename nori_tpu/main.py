@@ -38,8 +38,14 @@ def main(argv=None):
 
     from nori_tpu import load_from_xml
     from nori_tpu import registry
+    from nori_tpu.registry import NoriError
 
-    root = load_from_xml(args.input)
+    # NoriException-style fatal handling (src/main.cpp:196-199)
+    try:
+        root = load_from_xml(args.input)
+    except (NoriError, FileNotFoundError) as e:
+        print(f"Fatal error: {e}")
+        return 1
     if root.class_kind == registry.SCENE:
         from nori_tpu.render import render_to_files
 

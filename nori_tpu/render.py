@@ -114,10 +114,22 @@ def render(scene, spp: int | None = None, seed: int = 0,
 def render_to_files(scene, out_base: str, spp: int | None = None,
                     seed: int = 0, verbose: bool = False):
     """Render and write <base>.exr + tonemapped <base>.png
-    (src/main.cpp:140-150)."""
+    (src/main.cpp:140-150).
+
+    Path-family integrators use the persistent-wavefront renderer
+    (nori_tpu.wavefront) — the production path; other integrators
+    (normals/simple/ao/whitted) use the plain batched pass.
+    """
     from nori_tpu.bitmap import write_exr, write_png
 
-    img, stats = render(scene, spp=spp, seed=seed, verbose=verbose)
+    if scene.integrator.plugin_name in (
+            "path", "path_mats", "path_ems", "path_mis"):
+        from nori_tpu.wavefront import render_wavefront
+
+        img, stats = render_wavefront(
+            scene, spp=spp, seed=seed, verbose=verbose)
+    else:
+        img, stats = render(scene, spp=spp, seed=seed, verbose=verbose)
     write_exr(out_base + ".exr", img)
     write_png(out_base + ".png", img)
     return img, stats
