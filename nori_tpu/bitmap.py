@@ -22,7 +22,8 @@ from nori_tpu.core.color import np_to_srgb
 _MAGIC = 20000630
 _PXTYPE_UINT, _PXTYPE_HALF, _PXTYPE_FLOAT = 0, 1, 2
 _COMP_NONE, _COMP_RLE, _COMP_ZIPS, _COMP_ZIP, _COMP_PIZ = 0, 1, 2, 3, 4
-_LINES_PER_BLOCK = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16}
+_LINES_PER_BLOCK = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16,
+                    _COMP_PIZ: 32}
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +148,17 @@ def read_exr(filename: str) -> np.ndarray:
         block_y0 = y - ymin
         nlines = min(lines_per_block, height - block_y0)
         raw_size = bytes_per_px * width * nlines
-        if compression in (_COMP_ZIP, _COMP_ZIPS) and size < raw_size:
+        if compression == _COMP_PIZ and size < raw_size:
+            if any(dt.itemsize != 2 for dt in chan_dtypes):
+                raise NoriError(
+                    f"'{filename}': PIZ with non-HALF channels unsupported")
+            from nori_tpu.exr_piz import piz_uncompress
+
+            raw = piz_uncompress(
+                data, [(n, dt) for (n, _), dt in zip(channels, chan_dtypes)],
+                width, nlines,
+            )
+        elif compression in (_COMP_ZIP, _COMP_ZIPS) and size < raw_size:
             raw = _zip_postdecode(zlib.decompress(data)).tobytes()
         else:
             raw = data

@@ -1,0 +1,99 @@
+"""Path-graph visualization (viewer substitute).
+
+The reference ships an interactive nanogui/GL viewer (src/visual.cpp,
+src/shaders/path.{vs,fs}): the shading-point cloud colored by radiance
+phase (blurred indirect / blurred direct / full / eigenvector
+magnitude), plus per-pixel path polylines.  TPU hosts have no GL, so
+this renders the same views offline with matplotlib:
+
+  point_cloud(...)   — 3D scatter colored by a per-point quantity
+  path_polyline(...) — the light path of a chosen pixel as a 3D
+                       polyline over a faint cloud (path.vs/fs analogue)
+  phase_grid(...)    — the viewer's phase toggle as a grid of images
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _tonemap(c, exposure=1.0):
+    c = np.asarray(c, np.float64) * exposure
+    return np.clip(np.power(np.maximum(c, 0.0), 1 / 2.2), 0, 1)
+
+
+def point_cloud(g, colors, out_path: str, exposure: float = 1.0,
+                max_points: int = 200_000, title: str = ""):
+    """Scatter the shading points colored by `colors` (N, 3) linear."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pos = np.asarray(g.sps["pos"])
+    stride = max(1, len(pos) // max_points)
+    p = pos[::stride]
+    c = _tonemap(colors[::stride], exposure)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(p[:, 0], p[:, 2], p[:, 1], c=c, s=0.6, alpha=0.7,
+               linewidths=0)
+    ax.set_title(title or f"{len(pos)} shading points")
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def path_polyline(g, x: int, y: int, out_path: str,
+                  cloud_points: int = 30_000):
+    """Draw the light path of pixel (x, y) (visual.cpp pick + path
+    polyline via path.vs/path.fs)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sel = np.nonzero(
+        (g.paths["xIdx"] == x) & (g.paths["yIdx"] == y)
+        & (g.paths["numOfPathPoints"] > 0)
+    )[0]
+    pos = np.asarray(g.sps["pos"])
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    stride = max(1, len(pos) // cloud_points)
+    bg = pos[::stride]
+    ax.scatter(bg[:, 0], bg[:, 2], bg[:, 1], c="lightgray", s=0.3,
+               alpha=0.3, linewidths=0)
+    for pi in sel:
+        f0 = int(g.paths["firstPathPointIdx"][pi])
+        n = int(g.paths["numOfPathPoints"][pi])
+        pp = pos[f0:f0 + n]
+        ax.plot(pp[:, 0], pp[:, 2], pp[:, 1], "-o", markersize=3,
+                linewidth=1.5)
+    ax.set_title(f"paths through pixel ({x}, {y}): {len(sel)}")
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def phase_grid(g, phases: dict, out_path: str, exposure: float = 1.0):
+    """First-hit images for each named radiance phase side by side
+    (the viewer's phase toggle: eLi / blurred / full / ...)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from nori_tpu.pathgraph.pg import _splat_first_hits
+
+    n = len(phases)
+    fig, axes = plt.subplots(1, n, figsize=(5 * n, 5))
+    if n == 1:
+        axes = [axes]
+    for ax, (name, vals) in zip(axes, phases.items()):
+        img, _ = _splat_first_hits(g, np.asarray(vals))
+        ax.imshow(_tonemap(img, exposure))
+        ax.set_title(name)
+        ax.axis("off")
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,160 @@
+"""warptest: chi^2 verification of sampling warps (CLI).
+
+Port of the warptest application's CLI half (src/warptest.cpp:968-1007;
+test core :121-227): histogram `1000 * res` samples pushed through a
+warp (or the microfacet BRDF) and chi^2-compare against the claimed pdf
+integrated over the bins; exit code 0/1 for scripting.  The nanogui
+point-cloud visualizer half is replaced by an optional matplotlib
+scatter dump (--plot out.png) — no GL on TPU hosts.
+
+Usage:  python -m nori_tpu.warptest <warp> [param] [param2] [--plot f.png]
+  warps: square | tent | disk | sphere | hemisphere | cosine |
+         beckmann <alpha> | microfacet <alpha> [cos_theta_i]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from nori_tpu import warp as W
+from nori_tpu.core import rng
+from nori_tpu.testing.hypothesis import chi2_test, integrate_cells_2d
+
+RES = 51  # xres (warptest uses 51); yres = 51 for 2D, 2*res for sphere
+SAMPLE_FACTOR = 1000
+
+
+def _samples(n, seed=0):
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    return rng.uniform2(jnp.uint32(seed), lanes, jnp.uint32(0))
+
+
+def run_warp_test(name: str, param: float = 0.0, param2: float = 0.0,
+                  seed: int = 0, verbose: bool = True):
+    """Returns (passed, message)."""
+    n = SAMPLE_FACTOR * RES * RES
+    u = _samples(n, seed)
+
+    if name == "microfacet":
+        from nori_tpu.props import PropertyList
+        from nori_tpu.bsdf import Microfacet, sample_bsdf, pdf_bsdf
+        from nori_tpu.testing.chi2 import bsdf_params_for
+
+        pl = PropertyList()
+        pl.set_float("alpha", param if param > 0 else 0.1)
+        pl.set_color("kd", np.zeros(3))
+        b = Microfacet(pl)
+        cos_i = param2 if param2 != 0.0 else 0.7
+        sin_i = np.sqrt(max(0.0, 1 - cos_i * cos_i))
+        wi = np.array([sin_i, 0.0, cos_i])
+        params = bsdf_params_for(b, n)
+        wi_b = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (n, 3))
+        lanes = jnp.arange(n, dtype=jnp.uint32)
+        u_lobe = rng.uniform(jnp.uint32(seed), lanes, jnp.uint32(9))
+        s = sample_bsdf(params, wi_b, u_lobe, u)
+        pts = np.asarray(s.wo)
+        valid = np.asarray(s.weight).sum(-1) != 0
+        pts = pts[valid]
+
+        params1 = bsdf_params_for(b, 1)
+
+        def pdf_fn(v):
+            m = v.shape[0]
+            from nori_tpu.bsdf import BSDFParams
+            p_m = BSDFParams(*[
+                jnp.broadcast_to(
+                    getattr(params1, f)[0],
+                    (m,) + getattr(params1, f).shape[1:])
+                for f in params1._fields
+            ])
+            wim = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (m, 3))
+            return np.asarray(pdf_bsdf(p_m, wim, jnp.asarray(v, jnp.float32)))
+
+        dim3, pdf3 = True, pdf_fn
+    elif name in W.WARPS:
+        fn, pdf, dim, takes_alpha = W.WARPS[name]
+        if takes_alpha:
+            alpha = param if param > 0 else 0.1
+            pts = np.asarray(fn(u, alpha))
+            pdf3 = lambda v: np.asarray(pdf(jnp.asarray(v, jnp.float32), alpha))
+        else:
+            pts = np.asarray(fn(u))
+            pdf3 = lambda v: np.asarray(pdf(jnp.asarray(v, jnp.float32)))
+        dim3 = dim == 3
+    else:
+        raise SystemExit(f"unknown warp '{name}' "
+                         f"(known: {sorted(W.WARPS)} + microfacet)")
+
+    n_eff = pts.shape[0]
+    if dim3:
+        cos_edges = np.linspace(-1, 1, RES + 1)
+        phi_edges = np.linspace(0, 2 * np.pi, 2 * RES + 1)
+        phi = np.arctan2(pts[:, 1], pts[:, 0])
+        phi = np.where(phi < 0, phi + 2 * np.pi, phi)
+        obs, _, _ = np.histogram2d(pts[:, 2], phi, bins=[cos_edges, phi_edges])
+
+        def grid_pdf(CT, PH):
+            ST = np.sqrt(np.maximum(0.0, 1 - CT ** 2))
+            v = np.stack([ST * np.cos(PH), ST * np.sin(PH), CT], -1)
+            shape = v.shape[:-1]
+            return pdf3(v.reshape(-1, 3)).reshape(shape)
+
+        exp = integrate_cells_2d(
+            grid_pdf, cos_edges, phi_edges, order=17) * n
+    else:
+        lo, hi = (0.0, 1.0) if name == "square" else (-1.0, 1.0)
+        edges = np.linspace(lo, hi, RES + 1)
+        obs, _, _ = np.histogram2d(pts[:, 0], pts[:, 1], bins=[edges, edges])
+
+        def grid_pdf(X, Y):
+            v = np.stack([X, Y], -1)
+            shape = v.shape[:-1]
+            return pdf3(v.reshape(-1, 2)).reshape(shape)
+
+        exp = integrate_cells_2d(grid_pdf, edges, edges, order=17) * n
+
+    passed, msg = chi2_test(obs.ravel(), exp.ravel(), n,
+                            min_exp_frequency=5, significance=0.01)
+    if verbose:
+        print(f"warptest {name}: {msg}")
+    return passed, msg, pts
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="warptest")
+    ap.add_argument("warp")
+    ap.add_argument("param", nargs="?", type=float, default=0.0)
+    ap.add_argument("param2", nargs="?", type=float, default=0.0)
+    ap.add_argument("--plot", default=None,
+                    help="write a point-cloud scatter PNG")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    passed, msg, pts = run_warp_test(
+        args.warp, args.param, args.param2, args.seed)
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(6, 6))
+        sub = pts[:: max(1, len(pts) // 20000)]
+        if pts.shape[1] == 3:
+            ax = fig.add_subplot(111, projection="3d")
+            ax.scatter(sub[:, 0], sub[:, 1], sub[:, 2], s=0.5, alpha=0.4)
+        else:
+            ax = fig.add_subplot(111)
+            ax.scatter(sub[:, 0], sub[:, 1], s=0.5, alpha=0.4)
+            ax.set_aspect("equal")
+        ax.set_title(f"{args.warp} ({len(pts)} samples)")
+        fig.savefig(args.plot, dpi=110)
+        print(f"wrote {args.plot}")
+    return 0 if passed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
