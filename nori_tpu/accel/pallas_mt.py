@@ -43,11 +43,15 @@ TILE_N = 256   # rays per tile (sublane-major)
 TILE_T = 512   # triangles per tile (lane-major)
 
 
-def _mt_kernel(scene_ref, tb_ref, tri_ref, ray_ref,
+def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
                t_ref, idx_ref, u_ref, v_ref,
                bt_ref, bi_ref, bu_ref, bv_ref, *, cull: bool):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
+    # actual triangle tile for this step: per-ray-tile near-to-far
+    # order (prefetched), so best_t shrinks early and culls the rest
+    jj = order_ref[i, j]
 
     rays = ray_ref[:, :]        # (8, TILE_N)
 
@@ -96,10 +100,15 @@ def _mt_kernel(scene_ref, tb_ref, tri_ref, ray_ref,
         ryl, ryh = axis_reach(oy, dy)
         rzl, rzh = axis_reach(oz, dz)
         overlap = (
-            (rxh >= tb_ref[j, 0]) & (rxl <= tb_ref[j, 3])
-            & (ryh >= tb_ref[j, 1]) & (ryl <= tb_ref[j, 4])
-            & (rzh >= tb_ref[j, 2]) & (rzl <= tb_ref[j, 5])
+            (rxh >= tb_ref[jj, 0]) & (rxl <= tb_ref[jj, 3])
+            & (ryh >= tb_ref[jj, 1]) & (ryl <= tb_ref[jj, 4])
+            & (rzh >= tb_ref[jj, 2]) & (rzl <= tb_ref[jj, 5])
         )
+        # tight skyline bound: the nearest slab-entry of any live lane
+        # into this tile must not exceed the farthest useful t.  With
+        # tiles visited in entry order, once best_t converges every
+        # remaining tile skips (pays only the grid-step overhead).
+        overlap = overlap & (entry_ref[i, jj] <= t_hi)
     else:
         overlap = True
 
@@ -149,7 +158,7 @@ def _mt_kernel(scene_ref, tb_ref, tri_ref, ray_ref,
         )
         first = is_min & (lane == min_lane)
         fsel = first.astype(jnp.float32)
-        sel_idx = jnp.sum(jnp.where(first, lane, 0), axis=1) + j * TILE_T
+        sel_idx = jnp.sum(jnp.where(first, lane, 0), axis=1) + jj * TILE_T
         sel_u = jnp.sum(u * fsel, axis=1)
         sel_v = jnp.sum(v * fsel, axis=1)
         tile_min1 = tile_min[:, 0]
@@ -179,7 +188,37 @@ def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
     """
     _, T = tris_packed.shape
     _, N = rays_packed.shape
-    grid = (N // TILE_N, T // TILE_T)
+    n_rt = N // TILE_N
+    n_tt = T // TILE_T
+    grid = (n_rt, n_tt)
+
+    # near-to-far triangle-tile order per ray tile: exact per-ray slab
+    # entry distances to every tile AABB, reduced to a per-(ray-tile,
+    # tri-tile) minimum.  The sorted order drives the kernel's
+    # tri-block index_map (scalar prefetch); the entry bound itself
+    # feeds the kernel's skyline skip.
+    if cull and n_tt > 1:
+        o = rays_packed[0:3].T.reshape(n_rt, TILE_N, 1, 3)
+        dvec = rays_packed[3:6].T.reshape(n_rt, TILE_N, 1, 3)
+        mint_r = rays_packed[6].reshape(n_rt, TILE_N, 1)
+        maxt_r = rays_packed[7].reshape(n_rt, TILE_N, 1)
+        live = mint_r <= maxt_r
+        inv_d = 1.0 / jnp.where(
+            jnp.abs(dvec) < 1e-20, jnp.where(dvec < 0, -1e-20, 1e-20), dvec)
+        bmn = tile_bounds[None, None, :, 0:3]
+        bmx = tile_bounds[None, None, :, 3:6]
+        t0 = (bmn - o) * inv_d
+        t1 = (bmx - o) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)   # (n_rt, TILE_N, n_tt)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tn <= tf) & (tf >= mint_r) & (tn <= maxt_r) & live
+        entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+        entry_rt = jnp.min(entry, axis=1)            # (n_rt, n_tt)
+        tile_order = jnp.argsort(entry_rt, axis=1).astype(jnp.int32)
+    else:
+        entry_rt = jnp.zeros((n_rt, n_tt), jnp.float32)
+        tile_order = jnp.broadcast_to(
+            jnp.arange(n_tt, dtype=jnp.int32)[None, :], (n_rt, n_tt))
 
     kernel = functools.partial(_mt_kernel, cull=cull)
     interpret = jax.default_backend() == "cpu"
@@ -190,34 +229,41 @@ def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
         jax.ShapeDtypeStruct((1, N), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, TILE_N), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, TILE_N), lambda i, j, order: (0, i),
+                     memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
-    t, idx, u, v = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((9, TILE_T), lambda i, j: (0, j),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((9, TILE_T), lambda i, j, order: (0, order[i, j]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_N), lambda i, j: (0, i),
+            pl.BlockSpec((8, TILE_N), lambda i, j, order: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((1, TILE_N), jnp.float32),
             pltpu.VMEM((1, TILE_N), jnp.int32),
             pltpu.VMEM((1, TILE_N), jnp.float32),
             pltpu.VMEM((1, TILE_N), jnp.float32),
         ],
+    )
+    t, idx, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=45 * N * T, bytes_accessed=4 * (9 * T + 8 * N + 16 * N),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scene_bounds, tile_bounds, tris_packed, rays_packed)
+    )(tile_order, scene_bounds, tile_bounds, entry_rt,
+      tris_packed, rays_packed)
     return t[0], idx[0], u[0], v[0]
 
 
