@@ -97,6 +97,129 @@ def _area_light(radiance):
     return create_instance("area", pl)
 
 
+def _box(center, half, rot_y=0.0):
+    """12-triangle box with outward normals, optional y rotation."""
+    cx, cy, cz = center
+    hx, hy, hz = half
+    corners = np.array([
+        [sx * hx, sy * hy, sz * hz]
+        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+    ], dtype=np.float32)
+    if rot_y:
+        c, s = np.cos(rot_y), np.sin(rot_y)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        corners = corners @ rot.T
+    corners += np.asarray(center, np.float32)
+    # faces as outward-wound quads over corner indices
+    quads = [
+        (0, 1, 3, 2),  # -x
+        (6, 7, 5, 4),  # +x
+        (0, 4, 5, 1),  # -y
+        (2, 3, 7, 6),  # +y
+        (0, 2, 6, 4),  # -z
+        (1, 5, 7, 3),  # +z
+    ]
+    faces = []
+    for a, b, c2, d in quads:
+        faces += [[a, b, c2], [a, c2, d]]
+    return corners, np.asarray(faces, np.uint32)
+
+
+def living_room(width: int = 256, height: int = 256, spp: int = 16,
+                integrator: str = "path_mis", detail: int = 3):
+    """A living-room-class workload (BASELINE.md names the pa5
+    living-room scene, which is absent from the reference checkout —
+    this is the in-framework reconstruction): a furnished room with
+    diffuse walls, glossy floor, sofa, coffee table, mirror ball,
+    glass ornament and two area lights.  `detail` controls sphere
+    subdivision (3 -> ~25k triangles, 4 -> ~90k)."""
+    from nori_tpu.scene import Scene
+    from nori_tpu.core.transform import Transform
+
+    scene = Scene(PropertyList())
+    meshes = []
+
+    def add(v, f, bsdf=None, emitter=None, normals=None, name="m"):
+        meshes.append(_mesh_obj(v, f, bsdf, emitter, normals, name))
+
+    # room shell 6 x 3 x 4.4 (interior-facing)
+    W, H, D = 3.0, 3.0, 2.2
+    v, f = _quad([-W, 0, -D], [-W, 0, D], [W, 0, D], [W, 0, -D])
+    add(v, f, _bsdf("microfacet", alpha=0.08, kd=[0.35, 0.30, 0.25]),
+        name="floor")
+    v, f = _quad([-W, H, -D], [W, H, -D], [W, H, D], [-W, H, D])
+    add(v, f, _bsdf("diffuse", albedo=[0.8, 0.8, 0.8]), name="ceiling")
+    v, f = _quad([-W, 0, -D], [W, 0, -D], [W, H, -D], [-W, H, -D])
+    add(v, f, _bsdf("diffuse", albedo=[0.65, 0.62, 0.55]), name="back")
+    v, f = _quad([-W, 0, D], [-W, 0, -D], [-W, H, -D], [-W, H, D])
+    add(v, f, _bsdf("diffuse", albedo=[0.55, 0.35, 0.25]), name="left")
+    v, f = _quad([W, 0, -D], [W, 0, D], [W, H, D], [W, H, -D])
+    add(v, f, _bsdf("diffuse", albedo=[0.4, 0.45, 0.5]), name="right")
+
+    gray = lambda g: _bsdf("diffuse", albedo=[g, g * 0.95, g * 0.9])
+    # sofa: seat + back + armrests
+    add(*_box([-1.4, 0.35, -1.2], [1.0, 0.35, 0.55]), gray(0.45),
+        name="sofa_seat")
+    add(*_box([-1.4, 1.0, -1.68], [1.0, 0.45, 0.12]), gray(0.42),
+        name="sofa_back")
+    add(*_box([-2.35, 0.75, -1.2], [0.12, 0.35, 0.55]), gray(0.40),
+        name="sofa_arm_l")
+    add(*_box([-0.45, 0.75, -1.2], [0.12, 0.35, 0.55]), gray(0.40),
+        name="sofa_arm_r")
+    # coffee table: top + 4 legs
+    add(*_box([0.2, 0.58, 0.3], [0.55, 0.04, 0.4], rot_y=0.3),
+        _bsdf("microfacet", alpha=0.15, kd=[0.25, 0.15, 0.08]),
+        name="table_top")
+    for dx in (-0.45, 0.45):
+        for dz in (-0.3, 0.3):
+            add(*_box([0.2 + dx, 0.27, 0.3 + dz], [0.04, 0.27, 0.04],
+                      rot_y=0.3), gray(0.2), name="leg")
+    # shelf
+    add(*_box([2.7, 1.1, -1.0], [0.25, 1.1, 0.7]), gray(0.5), name="shelf")
+
+    # decorative spheres: mirror ball, glass ornament, diffuse vases
+    pos, fcs, nrm = _icosphere([1.6, 0.45, 1.2], 0.45, detail)
+    add(pos, fcs, _bsdf("mirror"), normals=nrm, name="mirror_ball")
+    pos, fcs, nrm = _icosphere([0.2, 0.75, 0.3], 0.13, detail)
+    add(pos, fcs, _bsdf("dielectric"), normals=nrm, name="glass_ornament")
+    pos, fcs, nrm = _icosphere([2.7, 2.35, -1.0], 0.15, detail - 1)
+    add(pos, fcs, _bsdf("diffuse", albedo=[0.6, 0.2, 0.15]), normals=nrm,
+        name="vase")
+    pos, fcs, nrm = _icosphere([-1.4, 0.82, -1.2], 0.12, detail - 1)
+    add(pos, fcs, _bsdf("diffuse", albedo=[0.7, 0.6, 0.2]), normals=nrm,
+        name="cushion_ball")
+
+    # lights: ceiling panel + warm floor lamp
+    v, f = _quad([-0.5, 2.995, -0.4], [0.5, 2.995, -0.4],
+                 [0.5, 2.995, 0.4], [-0.5, 2.995, 0.4])
+    add(v, f, _bsdf("diffuse", albedo=[0, 0, 0]),
+        emitter=_area_light([38.0, 34.0, 26.0]), name="panel_light")
+    pos, fcs, nrm = _icosphere([2.3, 1.9, 1.5], 0.12, 2)
+    add(pos, fcs, _bsdf("diffuse", albedo=[0, 0, 0]),
+        emitter=_area_light([40.0, 24.0, 8.0]), normals=nrm, name="lamp")
+
+    for m in meshes:
+        scene.add_child(m)
+
+    cam_pl = PropertyList()
+    cam_pl.set_integer("width", width)
+    cam_pl.set_integer("height", height)
+    cam_pl.set_float("fov", 55.0)
+    cam_pl.set_transform(
+        "toWorld",
+        Transform.lookat([0.3, 1.5, 2.05], [-0.3, 0.9, -1.0], [0, 1, 0]),
+    )
+    cam = create_instance("perspective", cam_pl)
+    cam.activate()
+    scene.add_child(cam)
+    samp_pl = PropertyList()
+    samp_pl.set_integer("sampleCount", spp)
+    scene.add_child(create_instance("independent", samp_pl))
+    scene.add_child(create_instance(integrator, PropertyList()))
+    scene.activate()
+    return scene
+
+
 def cornell_box(width: int = 512, height: int = 512, spp: int = 16,
                 integrator: str = "path_mis", sphere_subdiv: int = 3):
     """A self-contained Cornell box: diffuse walls, mirror + dielectric

@@ -1,0 +1,129 @@
+"""Path-graph evaluation protocol on the living-room workload.
+
+The in-framework equivalent of the fork's evaluation tooling
+(python/utils.py:72-256 + BASELINE.md): render a high-spp path-traced
+reference, run N independent path-graph dumps through the aggregation
+pipeline, merge the per-run outputs (`hdrmanip --merge` equivalent),
+and report RMSE plus the path-tracing spp needed to match the merged
+path-graph quality (the per-scene `refDict` observable).
+
+Usage: python scripts/pathgraph_eval.py [--runs 8] [--k 16] [--iters 3]
+       [--res 256] [--ref-spp 256] [--out /tmp/pg_eval]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(globals().get("__file__", "/root/repo/scripts/x"))), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=8)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--ref-spp", type=int, default=256)
+    ap.add_argument("--detail", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/pg_eval")
+    ap.add_argument("--scene", default="living_room",
+                    choices=["living_room", "cornell_box"])
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from nori_tpu import scenes_builtin
+    from nori_tpu.wavefront import render_wavefront
+    from nori_tpu.bitmap import write_exr, write_png
+    from nori_tpu.pathgraph.dump import trace_dump
+    from nori_tpu.pathgraph.io import save_path_graph
+    from nori_tpu.pathgraph.bsdfgraph import GraphPoints
+    from nori_tpu.pathgraph.grid import UniformGrid, knn
+    from nori_tpu.pathgraph.cluster import build_clusters, pad_clusters
+    from nori_tpu.pathgraph import aggregate
+    from nori_tpu.pathgraph.pg import _splat_first_hits
+    from nori_tpu.pathgraph.merge import rmse
+
+    make = getattr(scenes_builtin, args.scene)
+    scene = make(width=args.res, height=args.res, spp=1,
+                 detail=args.detail) if args.scene == "living_room" \
+        else make(width=args.res, height=args.res, spp=1)
+    sd = scene.compile()
+    print(f"[eval] scene '{args.scene}': {sd.tri_v0.shape[0]} tris "
+          f"(padded), {args.res}x{args.res}")
+
+    # ---- high-spp PT reference -----------------------------------------
+    t0 = time.time()
+    ref, st = render_wavefront(scene, spp=args.ref_spp, seed=999)
+    print(f"[eval] reference {args.ref_spp} spp in {st['seconds']:.1f}s "
+          f"({st['mrays_per_sec']:.2f} Mrays/s)")
+    write_exr(os.path.join(args.out, "reference.exr"), ref)
+    write_png(os.path.join(args.out, "reference.png"), ref)
+
+    # ---- path-graph runs ------------------------------------------------
+    pg_fulls, pt_fulls = [], []
+    t_pg = 0.0
+    for run in range(args.runs):
+        t0 = time.time()
+        g = trace_dump(scene, max_depth=8, seed=run)
+        gp = GraphPoints(g.sps)
+        pos = np.asarray(g.sps["pos"])
+        dims = g.grid_dimensions()
+        cid, order, offsets = build_clusters(
+            pos, dims, g.aabb_min, g.aabb_max, args.k, seed=1994 + run)
+        import jax.numpy as jnp
+        gp.groupIdx = jnp.asarray(cid.astype(np.int32))
+        members, sizes = pad_clusters(order, offsets, pad=4 * args.k)
+        blur, mc, direct = aggregate.iterate_cluster(
+            gp, g.lps, members, sizes, cid, args.iters)
+        t_pg += time.time() - t0
+
+        eLd = np.asarray(g.sps["eLd"])
+        eLi = np.asarray(g.sps["eLi"])
+        lem = np.asarray(g.lps["L_em"])
+        full_img, _ = _splat_first_hits(g, direct + mc[-1] + lem)
+        pt_img, _ = _splat_first_hits(g, eLi + lem)
+        pg_fulls.append(full_img)
+        pt_fulls.append(pt_img)
+        print(f"[eval] run {run + 1}/{args.runs}: "
+              f"{g.num_points} points, {time.time() - t0:.1f}s")
+
+    pg_merged = np.mean(pg_fulls, axis=0)
+    pt_merged = np.mean(pt_fulls, axis=0)
+    write_exr(os.path.join(args.out, f"pg_k-{args.k}_merged.exr"), pg_merged)
+    write_png(os.path.join(args.out, f"pg_k-{args.k}_merged.png"), pg_merged)
+    write_exr(os.path.join(args.out, "pt_same_samples.exr"), pt_merged)
+
+    e_pg = rmse(pg_merged, ref, clamp=10.0)
+    e_pt = rmse(pt_merged, ref, clamp=10.0)
+    print(f"[eval] RMSE vs {args.ref_spp}-spp reference "
+          f"({args.runs} merged runs): path-graph {e_pg:.4f}, "
+          f"plain PT (same samples) {e_pt:.4f}")
+
+    # ---- equal-RMSE PT spp (refDict observable) -------------------------
+    match_spp, match_err = None, None
+    for spp in (1, 2, 4, 8, 16, 32, 64, 128):
+        img, _ = render_wavefront(scene, spp=spp, seed=7)
+        e = rmse(img, ref, clamp=10.0)
+        print(f"[eval] PT {spp} spp -> RMSE {e:.4f}")
+        if e <= e_pg:
+            match_spp, match_err = spp, e
+            break
+    print("[eval] ----------------------------------------")
+    print(f"[eval] path-graph ({args.runs} x 1 spp, k={args.k}, "
+          f"i={args.iters}) RMSE {e_pg:.4f} in {t_pg:.1f}s")
+    if match_spp:
+        print(f"[eval] PT needs ~{match_spp} spp for RMSE {match_err:.4f} "
+              f"(<= path-graph quality)")
+    else:
+        print("[eval] PT did not reach path-graph RMSE within 128 spp")
+    print(f"[eval] outputs in {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,14 @@ def test_whitted_sees_light(tmp_path, ref_scenes):
     # whitted inside furnace: Le + single bounce = 1 + 0.5
     ok, msg = students_t_test(mean, var, 1.5, 20000, 0.01, 1)
     assert ok, msg
+
+
+def test_living_room_scene_renders():
+    from nori_tpu.scenes_builtin import living_room
+    from nori_tpu.wavefront import render_wavefront
+    import numpy as np
+
+    scene = living_room(width=48, height=48, spp=2, detail=1)
+    img, st = render_wavefront(scene, n_lanes=4608)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.02  # lit interior
