@@ -163,7 +163,7 @@ def _cluster_tables(members, sizes):
 
 
 def marginal_cluster(gp: GraphPoints, members, sizes, cluster_id,
-                     chunk: int = 256):
+                     chunk: int = 2048):
     """Per-point marginal (allGPUClusterPdfMarginal, pbsdf.cu:1239)."""
     n = int(np.asarray(gp.nidx).shape[0])
     c, pad = members.shape
@@ -198,7 +198,7 @@ def marginal_cluster(gp: GraphPoints, members, sizes, cluster_id,
 
 
 def direct_cluster(gp: GraphPoints, lps, members, sizes,
-                   chunk: int = 256):
+                   chunk: int = 2048):
     """ClusterDirect (pbsdf.cu:2400-2430): direct-light MIS
     re-aggregation + addEmitterToDirectLight."""
     n = int(np.asarray(gp.nidx).shape[0])
@@ -258,7 +258,7 @@ def direct_cluster(gp: GraphPoints, lps, members, sizes,
 
 
 def iterate_cluster(gp: GraphPoints, lps, members, sizes, cluster_id,
-                    iterations: int, chunk: int = 256):
+                    iterations: int, chunk: int = 2048):
     """ClusterScatterWithDirectOptNR: returns
     (blur_results, mc_results, direct) matching ResultSpace."""
     n = int(np.asarray(gp.nidx).shape[0])

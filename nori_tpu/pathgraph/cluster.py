@@ -19,7 +19,7 @@ from nori_tpu.pathgraph.grid import UniformGrid
 
 
 def build_clusters(pos: np.ndarray, dims, bbox_min, bbox_max, k: int,
-                   seed: int = 1994, max_size_factor: int = 4):
+                   seed: int = 1994, max_size_factor: int = 2):
     """Returns (cluster_id (N,), order (N,), offsets (C+1,)).
 
     `order` sorts points by cluster; cluster c owns
@@ -144,10 +144,9 @@ def pad_clusters(order: np.ndarray, offsets: np.ndarray, pad: int):
     cluster's size repeat its first point (masked by size downstream)."""
     c = len(offsets) - 1
     sizes = np.diff(offsets)
-    table = np.zeros((c, pad), np.int32)
-    for i in range(c):
-        m = order[offsets[i]:offsets[i + 1]][:pad]
-        table[i, :len(m)] = m
-        if len(m) < pad:
-            table[i, len(m):] = m[0] if len(m) else 0
-    return table, np.minimum(sizes, pad).astype(np.int32)
+    csizes = np.minimum(sizes, pad).astype(np.int32)
+    lane = np.arange(pad)[None, :]
+    idx = offsets[:-1][:, None] + np.minimum(lane, csizes[:, None] - 1)
+    idx = np.clip(idx, 0, len(order) - 1)
+    table = order[idx].astype(np.int32)
+    return table, csizes

@@ -66,8 +66,12 @@ def trace_dump(scene, max_depth: int = 8, seed: int = 0,
     def trace_batch(pix0, seed_arr):
         pix = pix0 + jnp.arange(batch, dtype=jnp.uint32)
         pixc = jnp.minimum(pix, n_pix - 1)
-        px = (pixc % w).astype(jnp.float32) + 0.5
-        py = (pixc // w).astype(jnp.float32) + 0.5
+        # jittered primaries so independently-seeded runs decorrelate
+        # when merged (python/utils.py merges per-run EXRs)
+        from nori_tpu.render import JITTER_STREAM
+        jit2 = rng.uniform2(seed_arr, pixc, jnp.uint32(JITTER_STREAM))
+        px = (pixc % w).astype(jnp.float32) + jit2[:, 0]
+        py = (pixc // w).astype(jnp.float32) + jit2[:, 1]
         pos = jnp.stack([px, py], axis=-1)
         o, d, mint, maxt = type(cam).sample_rays(cam_params, pos)
         alive = pix < n_pix

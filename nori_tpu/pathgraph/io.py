@@ -177,3 +177,68 @@ def save_neighbors(base: str, clusters: np.ndarray, offsets: np.ndarray):
     with open(base + "_clusters.bin", "wb") as f:
         np.int32(len(offsets)).tofile(f)
         offsets.astype(np.int32).tofile(f)
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary dumps: eigenvector / max-idx (src/pathgraph.cpp:200-242) and the
+# sparse propagation-matrix file set consumed by matlab/matrixCPU.m:1-45.
+# ---------------------------------------------------------------------------
+
+def load_eigenvector(base: str, n_points: int) -> np.ndarray:
+    """<base>_scene_output_d<N>_eigenvector.bin: raw float[N]."""
+    path = f"{base}_scene_output_d{n_points}_eigenvector.bin"
+    return np.fromfile(path, np.float32, n_points)
+
+
+def save_eigenvector(base: str, values: np.ndarray):
+    path = f"{base}_scene_output_d{len(values)}_eigenvector.bin"
+    np.asarray(values, np.float32).tofile(path)
+
+
+def load_max_idx(base: str, n_points: int) -> np.ndarray:
+    path = f"{base}_scene_output_d{n_points}_max_idx.bin"
+    return np.fromfile(path, np.int32)
+
+
+def load_matrix_dump(base: str):
+    """Sparse propagation-matrix dump (matlab/matrixCPU.m layout):
+    returns dict with IDX/JDX int32, Ar/Ag/Ab float32, x0/b (3, nnz?)
+    float32, clusters int32, pixel_idx int32 (whatever files exist)."""
+    import os
+
+    out = {}
+    names = {
+        "IDX": ("_matrixIdx.bin", np.int32),
+        "JDX": ("_matrixJdx.bin", np.int32),
+        "Ar": ("_matrix_r.bin", np.float32),
+        "Ag": ("_matrix_g.bin", np.float32),
+        "Ab": ("_matrix_b.bin", np.float32),
+        "b": ("_matrix_b_value.bin", np.float32),
+        "x0": ("_matrix_x_0_value.bin", np.float32),
+        "clusters": ("_clusters.bin", np.int32),
+        "pixel_idx": ("_matrix_pixel_idx.bin", np.int32),
+    }
+    for key, (suffix, dt) in names.items():
+        p = base + suffix
+        if os.path.exists(p):
+            out[key] = np.fromfile(p, dt)
+    for key in ("b", "x0"):
+        if key in out:
+            out[key] = out[key].reshape(-1, 3).T  # matlab reshape(·, 3, [])
+    return out
+
+
+def save_matrix_dump(base: str, idx, jdx, a_rgb, b=None, x0=None):
+    """Write the sparse-matrix file set (for analysis round trips)."""
+    np.asarray(idx, np.int32).tofile(base + "_matrixIdx.bin")
+    np.asarray(jdx, np.int32).tofile(base + "_matrixJdx.bin")
+    a_rgb = np.asarray(a_rgb, np.float32)
+    a_rgb[:, 0].tofile(base + "_matrix_r.bin")
+    a_rgb[:, 1].tofile(base + "_matrix_g.bin")
+    a_rgb[:, 2].tofile(base + "_matrix_b.bin")
+    if b is not None:
+        np.asarray(b, np.float32).reshape(-1).tofile(
+            base + "_matrix_b_value.bin")
+    if x0 is not None:
+        np.asarray(x0, np.float32).reshape(-1).tofile(
+            base + "_matrix_x_0_value.bin")

@@ -126,7 +126,7 @@ def run(base: str, k: int = 16, iterations: int = 1, mode: str = "opt",
                   f"(max size {np.diff(offsets).max()})")
         gp.groupIdx = __import__("jax.numpy", fromlist=["asarray"]).asarray(
             cluster_id.astype(np.int32))
-        members, sizes = pad_clusters(order, offsets, pad=4 * k)
+        members, sizes = pad_clusters(order, offsets, pad=2 * k)
         blur, mc, direct = aggregate.iterate_cluster(
             gp, g.lps, members, sizes, cluster_id, iterations)
 

@@ -78,7 +78,7 @@ def main():
             pos, dims, g.aabb_min, g.aabb_max, args.k, seed=1994 + run)
         import jax.numpy as jnp
         gp.groupIdx = jnp.asarray(cid.astype(np.int32))
-        members, sizes = pad_clusters(order, offsets, pad=4 * args.k)
+        members, sizes = pad_clusters(order, offsets, pad=2 * args.k)
         blur, mc, direct = aggregate.iterate_cluster(
             gp, g.lps, members, sizes, cid, args.iters)
         t_pg += time.time() - t0
