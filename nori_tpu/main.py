@@ -20,6 +20,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--output", default=None, help="output basename")
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("--preview", action="store_true",
+                    help="write incremental <out>_preview.png snapshots")
     args = ap.parse_args(argv)
 
     ext = os.path.splitext(args.input)[1].lower()
@@ -53,7 +55,8 @@ def main(argv=None):
         if not args.quiet:
             print(root.to_string())
         img, stats = render_to_files(
-            root, out, spp=args.spp, seed=args.seed, verbose=not args.quiet
+            root, out, spp=args.spp, seed=args.seed,
+            verbose=not args.quiet, preview=args.preview,
         )
         print(
             f"Rendered {stats['pixels']} px x {stats['spp']} spp in "

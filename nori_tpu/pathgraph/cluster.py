@@ -32,8 +32,14 @@ def build_clusters(pos: np.ndarray, dims, bbox_min, bbox_max, k: int,
     seeds = perm[:n_clusters]
     seed_pos = pos[seeds]
 
-    # nearest seed within the 27-cell neighborhood of a seed grid
-    sgrid = UniformGrid(seed_pos, dims, bbox_min, bbox_max)
+    # nearest seed within the 27-cell neighborhood of a seed grid.
+    # The grid is sized for the SEED count (the reference's cluster
+    # hash table has numClusters cells, pbsdf.cu buildBatchClusters) —
+    # using the point-count dims leaves cells ~k-times too sparse and
+    # pushes almost every query into the brute-force fallback.
+    scale = (len(seed_pos) / max(n, 1)) ** (1.0 / 3.0)
+    sdims = np.maximum(1, np.ceil(np.asarray(dims) * scale)).astype(np.int32)
+    sgrid = UniformGrid(seed_pos, sdims, bbox_min, bbox_max)
     from nori_tpu.pathgraph.grid import knn as grid_knn
     # query each point's nearest seed: reuse the knn machinery by
     # building a combined set would be heavy; do it directly:
@@ -129,12 +135,14 @@ def _nearest_seed(pos, seed_pos, sgrid: UniformGrid, chunk=262144):
         bi, bd = _assign(jnp.asarray(pos[c0:c1], jnp.float32))
         bi = np.array(bi)
         bd = np.array(bd)
-        # points with no nearby seed: global nearest (rare)
-        missing = ~np.isfinite(bd)
-        if missing.any():
-            sub = pos[c0:c1][missing]
+        # points with no nearby seed: global nearest (rare); chunked
+        # so the fallback can never materialize an O(n*seeds) matrix
+        missing = np.nonzero(~np.isfinite(bd))[0]
+        for m0 in range(0, len(missing), 1024):
+            sel = missing[m0:m0 + 1024]
+            sub = pos[c0:c1][sel]
             d2 = ((sub[:, None, :] - seed_pos[None, :, :]) ** 2).sum(-1)
-            bi[missing] = np.argmin(d2, axis=1)
+            bi[sel] = np.argmin(d2, axis=1)
         out[c0:c1] = bi
     return out
 

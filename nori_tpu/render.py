@@ -112,7 +112,8 @@ def render(scene, spp: int | None = None, seed: int = 0,
 
 
 def render_to_files(scene, out_base: str, spp: int | None = None,
-                    seed: int = 0, verbose: bool = False):
+                    seed: int = 0, verbose: bool = False,
+                    preview: bool = False):
     """Render and write <base>.exr + tonemapped <base>.png
     (src/main.cpp:140-150).
 
@@ -127,7 +128,8 @@ def render_to_files(scene, out_base: str, spp: int | None = None,
         from nori_tpu.wavefront import render_wavefront
 
         img, stats = render_wavefront(
-            scene, spp=spp, seed=seed, verbose=verbose)
+            scene, spp=spp, seed=seed, verbose=verbose,
+            preview_path=(out_base + "_preview.png") if preview else None)
     else:
         img, stats = render(scene, spp=spp, seed=seed, verbose=verbose)
     write_exr(out_base + ".exr", img)

@@ -397,7 +397,8 @@ def make_dense_splat(scene, chunk: int):
 
 def render_wavefront(scene, spp: int | None = None, seed: int = 0,
                      n_lanes: int = 131072, chunk: int | None = None,
-                     verbose: bool = False, sort_rays: bool | None = None):
+                     verbose: bool = False, sort_rays: bool | None = None,
+                     preview_path: str | None = None):
     """Render a path-family scene with the persistent wavefront.
 
     Returns ((H, W, 3) numpy image, stats).
@@ -449,6 +450,12 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
         L_out, rays = run_chunk(steppers, sd, seed_arr, jnp.uint32(q0), q_end)
         film = splat_chunk(film, L_out, seed_arr, jnp.uint32(q0), q_end)
         ray_handles.append(rays)
+        if preview_path:
+            # incremental preview snapshot — the TPU-host substitute for
+            # the nanogui live screen (src/gui.cpp:19-132)
+            from nori_tpu.bitmap import write_png
+
+            write_png(preview_path, np.asarray(finalize(film)))
         if verbose:
             film.block_until_ready()
             print(f"  chunk {q0 // chunk + 1}/"
