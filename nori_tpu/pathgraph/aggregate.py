@@ -53,6 +53,120 @@ def _next_gather(arr, idx_plus_1, n):
     return arr[jnp.minimum(idx_plus_1, n - 1)]
 
 
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted kernels (GraphPoints is a pytree, so these compile
+# once per SHAPE and the cache survives across runs/datasets)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _pdf_sums_knn_block(gp, nb_c):
+    sp_k = gp.gather(nb_c)                   # ONE gather of (m, k)
+    spo = sp_k.expand(1)                     # (m, 1, k, ...)
+    wi_b = sp_k.wi[:, :, None, :]            # (m, k, 1, 3)
+    pdf = pdf_graph_bsdf(spo, wi_b)          # (m, k, k)
+    rr = sp_k.rrpdf[:, None, :]
+    sums = jnp.sum(pdf * rr, axis=2)
+    alive = (sp_k.nidx > 0) & (sp_k.rrpdf > EPS_RR)
+    return jnp.where(alive, sums, 0.0)
+
+
+@jax.jit
+def _mis_block(gp, temp_j, self_idx, nb_c, ps_c):
+    n = temp_j.shape[0]
+    sp_self = gp.gather(self_idx).expand(1)
+    nb_k = gp.gather(nb_c)
+    f = eval_graph_bsdf(sp_self, nb_k.wi)    # (m, k, 3)
+    alive = (nb_k.nidx > 0) & (nb_k.rrpdf > EPS_RR) & (ps_c > 0.0)
+    t_next = _next_gather(temp_j, nb_c + 1, n)
+    contrib = f * t_next / jnp.maximum(ps_c, 1e-20)[..., None]
+    contrib = jnp.where(alive[..., None], contrib, 0.0)
+    return jnp.sum(contrib, axis=1)
+
+
+@jax.jit
+def _last_run_block(gp, temp_j, idx):
+    n = temp_j.shape[0]
+    sp = gp.gather(idx)
+    spdf = pdf_graph_bsdf(sp, sp.wi)
+    f = eval_graph_bsdf(sp, sp.wi)
+    t_next = _next_gather(temp_j, idx + 1, n)
+    inv = 1.0 / jnp.maximum(spdf * sp.rrpdf, 1e-20)
+    rad = f * t_next * inv[..., None]
+    ok = (spdf > 0.0) & (sp.nidx > 0)
+    return jnp.where(ok[..., None], rad, 0.0)
+
+
+@jax.jit
+def _marginal_block(gp, mem_c, siz_c):
+    pad = mem_c.shape[1]
+    sp_k = gp.gather(mem_c)
+    spo = sp_k.expand(1)                       # cols j
+    wi_b = sp_k.wi[:, :, None, :]              # rows i
+    pdf = pdf_graph_bsdf(spo, wi_b)            # (m, pad_i, pad_j)
+    rr = sp_k.rrpdf[:, None, :]
+    excl = sp_k.nidx[:, None, :] == mem_c[:, :, None]
+    lane = jnp.arange(pad)
+    valid_j = (lane[None, None, :] < siz_c[:, None, None])
+    w = jnp.where(valid_j & ~excl, pdf * rr, 0.0)
+    return jnp.sum(w, axis=2)
+
+
+@jax.jit
+def _direct_block(gp, ld, lb, lightpdf, mem_c, siz_c):
+    pad = mem_c.shape[1]
+    lane = jnp.arange(pad)
+    valid = lane[None, :] < siz_c[:, None]
+    sp_k = gp.gather(mem_c)
+    spo = sp_k.expand(1)
+    wi_b = sp_k.wi[:, :, None, :]
+    pdf_b = pdf_graph_bsdf(spo, wi_b)
+    valid_j = valid[:, None, :]
+    lightpdf_k = lightpdf[mem_c]
+    mx = jnp.sum(jnp.where(valid_j, lightpdf_k[:, :, None], 0.0), axis=2)
+    my = jnp.sum(jnp.where(valid_j, pdf_b, 0.0), axis=2)
+
+    sp_j = sp_k.expand(2)
+    wid_i = sp_k.wi_d[:, None, :, :]
+    wi_i = sp_k.wi[:, None, :, :]
+    f_d = eval_graph_bsdf(sp_j, wid_i)         # (m, j, i, 3)
+    f_b = eval_graph_bsdf(sp_j, wi_i)
+    ld_i = ld[mem_c][:, None, :, :]
+    lb_i = lb[mem_c][:, None, :, :]
+    mx_i = mx[:, None, :, None]
+    my_i = my[:, None, :, None]
+    contrib = (
+        jnp.where(mx_i > 0.0, f_d * ld_i / jnp.maximum(mx_i, 1e-20), 0.0)
+        + jnp.where(my_i > 0.0, f_b * lb_i / jnp.maximum(my_i, 1e-20), 0.0)
+    )
+    valid_i = valid[:, None, :, None]
+    contrib = jnp.where(valid_i, contrib, 0.0)
+    return jnp.sum(contrib, axis=2)
+
+
+@jax.jit
+def _mx_block(gp, temp_j, marginal, mem_c, siz_c):
+    n = temp_j.shape[0]
+    pad = mem_c.shape[1]
+    lane = jnp.arange(pad)
+    valid = lane[None, :] < siz_c[:, None]
+    sp_k = gp.gather(mem_c)
+    sp_j = sp_k.expand(2)
+    wi_i = sp_k.wi[:, None, :, :]
+    f = eval_graph_bsdf(sp_j, wi_i)            # (m, j, i, 3)
+    t_next = _next_gather(temp_j, mem_c + 1, n)
+    marg_i = marginal[mem_c]
+    alive_i = (sp_k.nidx > 0) & (marg_i > 0.0) & (sp_k.rrpdf > EPS_RR)
+    w = t_next / jnp.maximum(marg_i, 1e-20)[..., None]
+    w = jnp.where(alive_i[..., None], w, 0.0)
+    self_next = mem_c[:, :, None] == (mem_c[:, None, :] + 1)
+    contrib = f * w[:, None, :, :]
+    contrib = jnp.where(self_next[..., None], 0.0, contrib)
+    contrib = jnp.where(valid[:, None, :, None], contrib, 0.0)
+    return jnp.sum(contrib, axis=2)
+
+
 # ---------------------------------------------------------------------------
 # KNN mode
 # ---------------------------------------------------------------------------
@@ -61,25 +175,10 @@ def pdf_sums_knn(gp: GraphPoints, neighbors, chunk: int = 16384):
     """(N, k) pdf sums (allGPUPdfSum, pbsdf.cu:1600-1618)."""
     n, k = neighbors.shape
     nb = jnp.asarray(neighbors)
-
-    @jax.jit
-    def _block(nb_c):
-        # rows: slot s (wi source), cols: slot j (pdf source)
-        m = nb_c.shape[0]
-        wi_s = gp.wi[nb_c]                       # (m, k, 3)
-        flat_j = jnp.broadcast_to(nb_c[:, None, :], (m, k, k))
-        sp_flat = gp.gather(flat_j)
-        wi_b = jnp.broadcast_to(wi_s[:, :, None, :], (m, k, k, 3))
-        pdf = pdf_graph_bsdf(sp_flat, wi_b)      # (m, k, k)
-        rr = gp.rrpdf[flat_j]
-        sums = jnp.sum(pdf * rr, axis=2)          # (m, k_s)
-        alive = (gp.nidx[nb_c] > 0) & (gp.rrpdf[nb_c] > EPS_RR)
-        return jnp.where(alive, sums, 0.0)
-
     out = np.zeros((n, k), np.float32)
     for c0 in range(0, n, chunk):
         c1 = min(c0 + chunk, n)
-        out[c0:c1] = np.asarray(_block(nb[c0:c1]))
+        out[c0:c1] = np.asarray(_pdf_sums_knn_block(gp, nb[c0:c1]))
     return out
 
 
@@ -94,26 +193,11 @@ def iterate_knn(gp: GraphPoints, neighbors, iterations: int,
     def mis_pass(temp):
         rad = np.zeros((n, 3), np.float32)
         temp_j = jnp.asarray(temp)
-
-        @jax.jit
-        def _block(idx0, nb_c, ps_c):
-            m = nb_c.shape[0]
-            self_idx = idx0 + jnp.arange(m)
-            sp_self = gp.gather(
-                jnp.broadcast_to(self_idx[:, None], (m, k)))
-            wi_n = gp.wi[nb_c]
-            f = eval_graph_bsdf(sp_self, wi_n)    # (m, k, 3)
-            alive = (gp.nidx[nb_c] > 0) & (gp.rrpdf[nb_c] > EPS_RR) \
-                & (ps_c > 0.0)
-            t_next = _next_gather(temp_j, nb_c + 1, n)  # (m, k, 3)
-            contrib = f * t_next / jnp.maximum(ps_c, 1e-20)[..., None]
-            contrib = jnp.where(alive[..., None], contrib, 0.0)
-            return jnp.sum(contrib, axis=1)
-
         for c0 in range(0, n, chunk):
             c1 = min(c0 + chunk, n)
-            rad[c0:c1] = np.asarray(
-                _block(jnp.int32(c0), nb[c0:c1], pdfsum[c0:c1]))
+            self_idx = jnp.arange(c0, c1, dtype=jnp.int32)
+            rad[c0:c1] = np.asarray(_mis_block(
+                gp, temp_j, self_idx, nb[c0:c1], pdfsum[c0:c1]))
         return np.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
 
     eLi = np.asarray(gp.eLi)
@@ -133,23 +217,11 @@ def last_run(gp: GraphPoints, temp, chunk: int = 262144):
     (lastRun, pbsdf.cu:1497-1526)."""
     n = int(np.asarray(gp.nidx).shape[0])
     temp_j = jnp.asarray(temp)
-
-    @partial(jax.jit, static_argnums=(1,))
-    def _block(idx0, m_size):
-        idx = idx0 + jnp.arange(m_size)
-        sp = gp.gather(idx)
-        spdf = pdf_graph_bsdf(sp, sp.wi)
-        f = eval_graph_bsdf(sp, sp.wi)
-        t_next = _next_gather(temp_j, idx + 1, n)
-        inv = 1.0 / jnp.maximum(spdf * sp.rrpdf, 1e-20)
-        rad = f * t_next * inv[..., None]
-        ok = (spdf > 0.0) & (sp.nidx > 0)
-        return jnp.where(ok[..., None], rad, 0.0)
-
     out = np.zeros((n, 3), np.float32)
     for c0 in range(0, n, chunk):
         c1 = min(c0 + chunk, n)
-        out[c0:c1] = np.asarray(_block(jnp.int32(c0), c1 - c0))
+        idx = jnp.arange(c0, c1, dtype=jnp.int32)
+        out[c0:c1] = np.asarray(_last_run_block(gp, temp_j, idx))
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
@@ -170,23 +242,7 @@ def marginal_cluster(gp: GraphPoints, members, sizes, cluster_id,
     mem_j, siz_j = _cluster_tables(members, sizes)
 
     out = np.zeros(n, np.float32)
-
-    @jax.jit
-    def _block(mem_c, siz_c):
-        m = mem_c.shape[0]
-        sp_i = gp.gather(mem_c)                    # (m, pad) "wi" owners
-        spo = gp.gather(
-            jnp.broadcast_to(mem_c[:, None, :], (m, pad, pad)))
-        wi_b = jnp.broadcast_to(
-            sp_i.wi[:, :, None, :], (m, pad, pad, 3))
-        pdf = pdf_graph_bsdf(spo, wi_b)            # (m, pad_i, pad_j)
-        rr = gp.rrpdf[mem_c][:, None, :]
-        # exclude spo whose nidx == i (its own next point feeding it)
-        excl = gp.nidx[mem_c][:, None, :] == mem_c[:, :, None]
-        lane = jnp.arange(pad)
-        valid_j = (lane[None, None, :] < siz_c[:, None, None])
-        w = jnp.where(valid_j & ~excl, pdf * rr, 0.0)
-        return jnp.sum(w, axis=2)                  # (m, pad_i)
+    _block = lambda mem_c, siz_c: _marginal_block(gp, mem_c, siz_c)
 
     for b0 in range(0, c, chunk):
         b1 = min(b0 + chunk, c)
@@ -209,42 +265,8 @@ def direct_cluster(gp: GraphPoints, lps, members, sizes,
     lem = jnp.asarray(np.asarray(lps["L_em"]), jnp.float32)
     lightpdf = jnp.asarray(np.asarray(lps["lightpdf"]), jnp.float32)
 
-    @jax.jit
-    def _block(mem_c, siz_c):
-        m = mem_c.shape[0]
-        lane = jnp.arange(pad)
-        valid = lane[None, :] < siz_c[:, None]
-        sp_i = gp.gather(mem_c)
-        spo = gp.gather(
-            jnp.broadcast_to(mem_c[:, None, :], (m, pad, pad)))
-        # marginals per i (allGPUDirectPdfMarginal semantics: x sums the
-        # recorded light pdf once per member, y sums bsdf pdfs)
-        wi_b = jnp.broadcast_to(sp_i.wi[:, :, None, :], (m, pad, pad, 3))
-        pdf_b = pdf_graph_bsdf(spo, wi_b)
-        valid_j = valid[:, None, :]
-        mx = jnp.sum(
-            jnp.where(valid_j, lightpdf[mem_c][:, :, None], 0.0), axis=2)
-        my = jnp.sum(jnp.where(valid_j, pdf_b, 0.0), axis=2)
-
-        # gather form: radiance[j] = sum_i f(sp_j, wi_d_i) Ld_i/mx_i + ...
-        sp_j = gp.gather(
-            jnp.broadcast_to(mem_c[:, :, None], (m, pad, pad)))
-        wid_i = jnp.broadcast_to(
-            sp_i.wi_d[:, None, :, :], (m, pad, pad, 3))
-        wi_i = jnp.broadcast_to(sp_i.wi[:, None, :, :], (m, pad, pad, 3))
-        f_d = eval_graph_bsdf(sp_j, wid_i)         # (m, j, i, 3)
-        f_b = eval_graph_bsdf(sp_j, wi_i)
-        ld_i = ld[mem_c][:, None, :, :]
-        lb_i = lb[mem_c][:, None, :, :]
-        mx_i = mx[:, None, :, None]
-        my_i = my[:, None, :, None]
-        contrib = (
-            jnp.where(mx_i > 0.0, f_d * ld_i / jnp.maximum(mx_i, 1e-20), 0.0)
-            + jnp.where(my_i > 0.0, f_b * lb_i / jnp.maximum(my_i, 1e-20), 0.0)
-        )
-        valid_i = valid[:, None, :, None]
-        contrib = jnp.where(valid_i, contrib, 0.0)
-        return jnp.sum(contrib, axis=2)            # (m, j, 3)
+    _block = lambda mem_c, siz_c: _direct_block(
+        gp, ld, lb, lightpdf, mem_c, siz_c)
 
     out = np.zeros((n, 3), np.float32)
     for b0 in range(0, c, chunk):
@@ -270,31 +292,8 @@ def iterate_cluster(gp: GraphPoints, lps, members, sizes, cluster_id,
 
     def mx_pass(temp):
         temp_j = jnp.asarray(temp)
-
-        @jax.jit
-        def _block(mem_c, siz_c):
-            m = mem_c.shape[0]
-            lane = jnp.arange(pad)
-            valid = lane[None, :] < siz_c[:, None]
-            sp_i = gp.gather(mem_c)
-            # rad[j] = sum_i f(sp_j, wi_i) temp[i+1] / marginal_i
-            sp_j = gp.gather(
-                jnp.broadcast_to(mem_c[:, :, None], (m, pad, pad)))
-            wi_i = jnp.broadcast_to(
-                sp_i.wi[:, None, :, :], (m, pad, pad, 3))
-            f = eval_graph_bsdf(sp_j, wi_i)        # (m, j, i, 3)
-            t_next = _next_gather(temp_j, mem_c + 1, n)  # (m, i, 3)
-            marg_i = marginal[mem_c]
-            alive_i = (gp.nidx[mem_c] > 0) & (marg_i > 0.0) \
-                & (gp.rrpdf[mem_c] > EPS_RR)
-            w = t_next / jnp.maximum(marg_i, 1e-20)[..., None]
-            w = jnp.where(alive_i[..., None], w, 0.0)
-            # skip depositing onto i's own next point (j == i+1)
-            self_next = mem_c[:, :, None] == (mem_c[:, None, :] + 1)
-            contrib = f * w[:, None, :, :]
-            contrib = jnp.where(self_next[..., None], 0.0, contrib)
-            contrib = jnp.where(valid[:, None, :, None], contrib, 0.0)
-            return jnp.sum(contrib, axis=2)
+        _block = lambda mem_c, siz_c: _mx_block(
+            gp, temp_j, marginal, mem_c, siz_c)
 
         rad = np.zeros((n, 3), np.float32)
         for b0 in range(0, c, chunk):

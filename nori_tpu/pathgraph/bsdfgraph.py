@@ -116,8 +116,15 @@ def _type_code(sps_type):
     return codes
 
 
+_GP_FIELDS = ("pos", "wi", "wi_d", "wo", "shN", "geoN", "diffuse",
+              "specular", "eLi", "eLd", "eta", "k", "roughness",
+              "pdf", "rrpdf", "nidx", "groupIdx", "type")
+
+
 class GraphPoints:
-    """SoA device mirror of the SPoint array."""
+    """SoA device mirror of the SPoint array (registered as a pytree so
+    jitted aggregation kernels can take it as an argument and their
+    compile caches survive across runs)."""
 
     def __init__(self, sps):
         import numpy as np
@@ -139,6 +146,35 @@ class GraphPoints:
                   "pdf", "rrpdf", "nidx", "groupIdx", "type"):
             setattr(g, f, getattr(self, f)[idx])
         return g
+
+    def expand(self, axis: int):
+        """Insert a broadcast axis (positive index) into every field.
+        TPU gathers are expensive: gather once per member table, then
+        broadcast to all-pairs shapes instead of gathering
+        (m, pad, pad) index tensors."""
+        assert axis >= 0
+        g = object.__new__(GraphPoints)
+        g.n = None
+        for f in _GP_FIELDS:
+            setattr(g, f, jnp.expand_dims(getattr(self, f), axis))
+        return g
+
+
+def _gp_flatten(gp):
+    return tuple(getattr(gp, f) for f in _GP_FIELDS), None
+
+
+def _gp_unflatten(aux, children):
+    g = object.__new__(GraphPoints)
+    g.n = None
+    for f, v in zip(_GP_FIELDS, children):
+        setattr(g, f, v)
+    return g
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(GraphPoints, _gp_flatten, _gp_unflatten)
 
 
 def eval_graph_bsdf(sp, wi):

@@ -60,7 +60,18 @@ def trace_dump(scene, max_depth: int = 8, seed: int = 0,
     cam_params = cam.ray_params()
     n_pix = w * h
 
-    rec_fields = {}
+    # cache the jitted tracer on the scene: seeds are traced arguments,
+    # so repeated dump runs reuse one compilation
+    cache_key = (max_depth, batch)
+    cache = getattr(scene, "_dump_cache", None)
+    if cache is not None and cache[0] == cache_key:
+        trace_batch = cache[1]
+        all_recs = []
+        seed_arr = jnp.uint32(seed)
+        for p0 in range(0, n_pix, batch):
+            r = trace_batch(jnp.uint32(p0), seed_arr)
+            all_recs.append({k: np.asarray(v) for k, v in r.items()})
+        return _assemble(scene, all_recs, w, h, max_depth, batch)
 
     @jax.jit
     def trace_batch(pix0, seed_arr):
@@ -198,6 +209,7 @@ def trace_dump(scene, max_depth: int = 8, seed: int = 0,
             step, carry, jnp.arange(max_depth, dtype=jnp.int32))
         return recs
 
+    scene._dump_cache = (cache_key, trace_batch)
     all_recs = []
     seed_arr = jnp.uint32(seed)
     for p0 in range(0, n_pix, batch):
