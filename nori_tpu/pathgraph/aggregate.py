@@ -254,9 +254,15 @@ def marginal_cluster(gp: GraphPoints, members, sizes, cluster_id,
 
 
 def direct_cluster(gp: GraphPoints, lps, members, sizes,
-                   chunk: int = 2048):
+                   chunk: int = 2048, include_emitter: bool = True):
     """ClusterDirect (pbsdf.cu:2400-2430): direct-light MIS
-    re-aggregation + addEmitterToDirectLight."""
+    re-aggregation (+ addEmitterToDirectLight when include_emitter).
+
+    NOTE: the iteration uses the WITHOUT-emitter variant as the temp
+    source — our dumps deliver next-vertex emission through the MIS
+    em-hit half of L_bsdfsample, so adding L_em into temp as well would
+    double-count it (deviation from the literal kernel order, which
+    assumes the external pathrenderer's eLd/eLi conventions)."""
     n = int(np.asarray(gp.nidx).shape[0])
     c, pad = members.shape
     mem_j, siz_j = _cluster_tables(members, sizes)
@@ -275,7 +281,8 @@ def direct_cluster(gp: GraphPoints, lps, members, sizes,
         mm = members[b0:b1]
         mask = np.arange(pad)[None, :] < sizes[b0:b1][:, None]
         out[mm[mask]] = vals[mask]
-    out += np.asarray(lem)
+    if include_emitter:
+        out += np.asarray(lem)
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
@@ -284,7 +291,8 @@ def iterate_cluster(gp: GraphPoints, lps, members, sizes, cluster_id,
     """ClusterScatterWithDirectOptNR: returns
     (blur_results, mc_results, direct) matching ResultSpace."""
     n = int(np.asarray(gp.nidx).shape[0])
-    direct = direct_cluster(gp, lps, members, sizes, chunk=chunk)
+    direct = direct_cluster(gp, lps, members, sizes, chunk=chunk,
+                            include_emitter=False)
     marginal = jnp.asarray(
         marginal_cluster(gp, members, sizes, cluster_id, chunk=chunk))
     mem_j, siz_j = _cluster_tables(members, sizes)
@@ -330,4 +338,7 @@ def iterate_cluster(gp: GraphPoints, lps, members, sizes, cluster_id,
         blur_results.append(rad)
         temp = rad + direct
         mc_results.append(last_run(gp, temp))
-    return blur_results, mc_results, direct
+    # display variant includes each vertex's own emission
+    direct_disp = direct + np.asarray(
+        np.asarray(lps["L_em"], np.float32))
+    return blur_results, mc_results, direct_disp

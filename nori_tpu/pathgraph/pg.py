@@ -51,8 +51,11 @@ def _splat_first_hits(g: PathGraphData, values):
 
 def write_outputs(base: str, g: PathGraphData, k: int,
                   blur_results, mc_results, direct):
-    eLd = np.asarray(g.sps["eLd"])
-    eLi = np.asarray(g.sps["eLi"])
+    # our dumps keep vertex self-emission out of eLd (it travels through
+    # the MIS em-hit terms), so the display images add L_em explicitly
+    lem = np.asarray(g.lps["L_em"], np.float32)
+    eLd = np.asarray(g.sps["eLd"]) + lem
+    eLi = np.asarray(g.sps["eLi"]) + lem
     mc = mc_results[-1]
     blur = blur_results[-1]
 

@@ -86,7 +86,8 @@ def main():
         eLd = np.asarray(g.sps["eLd"])
         eLi = np.asarray(g.sps["eLi"])
         lem = np.asarray(g.lps["L_em"])
-        full_img, _ = _splat_first_hits(g, direct + mc[-1] + lem)
+        # full = re-aggregated direct (incl. vertex emission) + final MC
+        full_img, _ = _splat_first_hits(g, direct + mc[-1])
         pt_img, _ = _splat_first_hits(g, eLi + lem)
         pg_fulls.append(full_img)
         pt_fulls.append(pt_img)
