@@ -36,10 +36,11 @@ def main():
 
         scene = cornell_box(width=800, height=600, spp=16)
 
-    # warm the tunnel + compile with a short render, then measure
+    # warm the tunnel + compile with one full-config render (the
+    # stepper jit cache is keyed by spp), then measure a second run
     sd = scene.compile()
     float(jnp.sum(sd.tri_v0))
-    render_wavefront(scene, spp=2, n_lanes=131072, seed=0)
+    render_wavefront(scene, spp=16, n_lanes=131072, seed=0)
     img, stats = render_wavefront(scene, spp=16, n_lanes=131072, seed=1)
     mrays = stats["mrays_per_sec"]
     print(json.dumps({
