@@ -105,18 +105,31 @@ class StudentsTTest(NoriObject):
             scene.integrator.preprocess(scene)
             cam = scene.camera
             li = scene.integrator.make_li(scene)
+            # Scene-mode luminance distributions are heavy-tailed
+            # (furnace paths can carry luminance in the thousands), so
+            # the online-variance t statistic understates tail risk at
+            # the reference's 100k default.  Quadruple the batch unless
+            # the fixture pins sampleCount explicitly.
             n = self.sample_count
+            batches = 1
+            if n == 100000:
+                n, batches = 400000, 4
             cam_params = cam.ray_params()
-            lanes = jnp.arange(n, dtype=jnp.uint32)
             seed = jnp.uint32(4321 + idx)
-            u_px = nrng.uniform2(seed, lanes, jnp.uint32(7))
-            pos = u_px * jnp.asarray(
-                [cam.width, cam.height], dtype=jnp.float32
-            )
-            o, d, mint, maxt = type(cam).sample_rays(cam_params, pos)
             import jax
-            L, aux = jax.jit(li)(sd, o, d, mint, maxt, seed, lanes)
-            lum = np.asarray(luminance(L), dtype=np.float64)
+            jl = jax.jit(li)
+            per = n // batches
+            lums = []
+            for b in range(batches):
+                lanes = jnp.arange(b * per, (b + 1) * per, dtype=jnp.uint32)
+                u_px = nrng.uniform2(seed, lanes, jnp.uint32(7))
+                pos = u_px * jnp.asarray(
+                    [cam.width, cam.height], dtype=jnp.float32
+                )
+                o, d, mint, maxt = type(cam).sample_rays(cam_params, pos)
+                L, aux = jl(sd, o, d, mint, maxt, seed, lanes)
+                lums.append(np.asarray(luminance(L), dtype=np.float64))
+            lum = np.concatenate(lums)
             mean = lum.mean()
             var = lum.var(ddof=1)
             ok, msg = students_t_test(
