@@ -119,3 +119,25 @@ def test_spiral_covers_all_blocks():
     assert len(seen) == 12
     # sizes clipped at the border
     assert all(x + w <= 100 and y + h <= 70 for x, y, w, h in tiles)
+
+
+def test_piz_reader_on_reference_exr():
+    """PIZ (wavelet+Huffman) decode of the fork's stored reference image
+    (python/living-room_final.exr, compression type 4)."""
+    import os
+    path = "/root/reference/python/living-room_final.exr"
+    if not os.path.exists(path):
+        pytest.skip("reference EXR not available")
+    img = read_exr(path)
+    assert img.shape == (720, 1280, 3)
+    assert np.isfinite(img).all()
+    assert 0.01 < img.mean() < 10.0
+    # natural image: neighboring pixels strongly correlated
+    assert np.abs(np.diff(img, axis=1)).mean() < 0.2 * img.mean() + 0.05
+
+
+def test_warptest_cli_square():
+    from nori_tpu import warptest
+
+    rc = warptest.main(["square"])
+    assert rc == 0
