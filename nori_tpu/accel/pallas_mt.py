@@ -45,7 +45,8 @@ TILE_T = 512   # triangles per tile (lane-major)
 
 def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
                t_ref, idx_ref, u_ref, v_ref,
-               bt_ref, bi_ref, bu_ref, bv_ref, *, cull: bool):
+               bt_ref, bi_ref, bu_ref, bv_ref, *,
+               cull: bool, any_hit: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -76,6 +77,10 @@ def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
         cz = scene_ref[0, 2]
         half_diag = scene_ref[0, 3]
         live = (mint <= maxt)
+        if any_hit:
+            # shadow query: a lane with any hit is done; drop it from
+            # the reach so converged tiles skip entirely (early-out)
+            live = live & (bi_ref[0, :].reshape(TILE_N, 1) < 0)
         big = jnp.float32(3e37)
         dist_c = jnp.sqrt(
             (ox - cx) ** 2 + (oy - cy) ** 2 + (oz - cz) ** 2
@@ -109,6 +114,8 @@ def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
         # tiles visited in entry order, once best_t converges every
         # remaining tile skips (pays only the grid-step overhead).
         overlap = overlap & (entry_ref[i, jj] <= t_hi)
+        if any_hit:
+            overlap = overlap & jnp.any(live)
     else:
         overlap = True
 
@@ -220,7 +227,7 @@ def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
         tile_order = jnp.broadcast_to(
             jnp.arange(n_tt, dtype=jnp.int32)[None, :], (n_rt, n_tt))
 
-    kernel = functools.partial(_mt_kernel, cull=cull)
+    kernel = functools.partial(_mt_kernel, cull=cull, any_hit=any_hit)
     interpret = jax.default_backend() == "cpu"
     out_shapes = [
         jax.ShapeDtypeStruct((1, N), jnp.float32),

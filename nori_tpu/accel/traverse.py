@@ -173,9 +173,15 @@ def intersect_bvh(scene, o, d, mint, maxt, any_hit: bool = False,
         ).astype(jnp.int32)
         # push positions: sp + exclusive prefix count of hits
         pos = sp[:, None] + jnp.cumsum(box_hit, axis=-1) - box_hit
-        pos = jnp.where(box_hit, pos, STACK_DEPTH)  # dropped when not hit
+        # Entries past STACK_DEPTH are dropped by mode="drop"; sp must
+        # count only entries actually written, else later pops read
+        # garbage from slot STACK_DEPTH-1 (silently wrong hits).  Build
+        # guarantees depth*(W-1)+1 <= STACK_DEPTH (bvh.py), so kept ==
+        # box_hit in practice; this is the safety net.
+        kept = box_hit & (pos < STACK_DEPTH)
+        pos = jnp.where(kept, pos, STACK_DEPTH)
         stack = stack.at[rows[:, None], pos].set(enc, mode="drop")
-        sp = sp + jnp.sum(box_hit, axis=-1)
+        sp = sp + jnp.sum(kept, axis=-1)
 
         # ---- leaf: test L contiguous triangles ----------------------------
         lv = -entry - 1
@@ -210,12 +216,13 @@ def intersect_bvh(scene, o, d, mint, maxt, any_hit: bool = False,
     return Hit(valid=best_i >= 0, t=best_t, tri=best_i, u=best_u, v=best_v)
 
 
-def _intersect_pallas(scene, o, d, mint, maxt) -> Hit:
+def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
     from nori_tpu.accel.pallas_mt import mt_sweep, pack_rays
 
     rays, n = pack_rays(o, d, mint, maxt)
     t, idx, u, v = mt_sweep(
-        scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds, rays
+        scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds, rays,
+        any_hit=any_hit,
     )
     return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n], u=u[:n], v=v[:n])
 
@@ -243,7 +250,7 @@ def occluded(scene, o, d, mint, maxt) -> jnp.ndarray:
 
     mode = config.resolve_accel(scene.tri_v0.shape[0])
     if mode == "pallas":
-        return _intersect_pallas(scene, o, d, mint, maxt).valid
+        return _intersect_pallas(scene, o, d, mint, maxt, any_hit=True).valid
     if mode == "scan":
         return intersect_brute(scene, o, d, mint, maxt).valid
     return intersect_bvh(scene, o, d, mint, maxt, any_hit=True).valid

@@ -1,14 +1,17 @@
 """ctypes bindings for the native runtime (nori_native.cpp).
 
-Compiled on demand with g++ (cached as _nori_native.so next to the
-source).  Every entry point has a pure-Python fallback — importing this
-module never fails, `available()` reports whether the native path is
-active.
+Compiled on demand with g++.  The shared object is NOT committed: it
+is built from source on first import and cached under a filename that
+embeds the source's content hash, so a stale (or tampered) binary can
+never be loaded — any change to nori_native.cpp forces a rebuild.
+Every entry point has a pure-Python fallback; importing this module
+never fails, `available()` reports whether the native path is active.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,10 +19,15 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "nori_native.cpp")
-_LIB = os.path.join(_HERE, "_nori_native.so")
 
 _lib = None
 _tried = False
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_nori_native_{digest}.so")
 
 
 class _ObjResult(ctypes.Structure):
@@ -54,14 +62,16 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            tmp = lib_path + f".tmp{os.getpid()}"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 _SRC, "-o", _LIB],
+                 _SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
-        lib = ctypes.CDLL(_LIB)
+            os.replace(tmp, lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.obj_load.restype = ctypes.POINTER(_ObjResult)
         lib.obj_load.argtypes = [ctypes.c_char_p]
         lib.obj_free.argtypes = [ctypes.POINTER(_ObjResult)]

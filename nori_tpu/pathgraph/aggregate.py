@@ -28,8 +28,11 @@ cluster neighborhood is symmetric (all pairs within a cluster), so each
 point sums over its cluster's members directly — dense masked math over
 a (n_clusters, pad) member table instead of serialized TPU scatters.
 The reference's per-cluster energy-ratio rescale (clampCluster/
-computeRatio/updateComputeCluster) is omitted (ratio == 1): it is a
-stabilization heuristic, not part of the estimator.
+computeRatio/updateComputeCluster, pbsdf.cu:2127-2183) IS applied each
+iteration (see energy_ratio below): clusters whose aggregated output
+exceeds the radiance they received are rescaled per channel.  This is
+a biased stabilization clamp (it only ever shrinks over-energetic
+clusters), matching the reference's `opt` driver behavior.
 
 Everything is float32 jnp, chunked over points to bound memory.
 """

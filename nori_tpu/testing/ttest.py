@@ -43,6 +43,10 @@ class StudentsTTest(NoriObject):
         self.angles = _tokenize_floats(props.get_string("angles", ""))
         self.references = _tokenize_floats(props.get_string("references", ""))
         self.sample_count = props.get_integer("sampleCount", 100000)
+        # Only the *defaulted* sample count is eligible for the
+        # scene-mode batch enlargement below; a fixture that pins
+        # sampleCount explicitly gets exactly what it asked for.
+        self.sample_count_explicit = props.has("sampleCount")
         self.bsdfs = []
         self.scenes = []
 
@@ -108,12 +112,13 @@ class StudentsTTest(NoriObject):
             # Scene-mode luminance distributions are heavy-tailed
             # (furnace paths can carry luminance in the thousands), so
             # the online-variance t statistic understates tail risk at
-            # the reference's 100k default.  Quadruple the batch unless
-            # the fixture pins sampleCount explicitly.
+            # the reference's 100k default.  Quadruple the batch — but
+            # only when sampleCount was NOT explicitly set by the
+            # fixture (an explicit pin is honored exactly).
             n = self.sample_count
             batches = 1
-            if n == 100000:
-                n, batches = 400000, 4
+            if not self.sample_count_explicit:
+                n, batches = 4 * n, 4
             cam_params = cam.ray_params()
             seed = jnp.uint32(4321 + idx)
             import jax
