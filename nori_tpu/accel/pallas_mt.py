@@ -184,6 +184,242 @@ def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
         v_ref[0, :] = bv_ref[0, :]
 
 
+def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
+    """(TILE_N x TILE_T) Moller-Trumbore tests; returns (hit, t, u, v).
+
+    tris: (9, TILE_T) packed [v0|e1|e2] x [x,y,z]; ray components are
+    (TILE_N, 1) columns.  Semantics match src/mesh.cpp:51-88.
+    """
+    tile_t = tris.shape[1]
+
+    def trow(i):
+        return tris[i, :].reshape(1, tile_t)
+
+    v0x, v0y, v0z = trow(0), trow(1), trow(2)
+    e1x, e1y, e1z = trow(3), trow(4), trow(5)
+    e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > 1e-8
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= mint) & (t <= maxt)
+    )
+    return hit, t, u, v
+
+
+def _mt_resident_kernel(order_ref, entry_ref, esort_ref, scene_ref, tb_ref,
+                        tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
+                        *, n_tt: int, any_hit: bool):
+    """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
+    lives in VMEM and an in-kernel while_loop walks this ray tile's
+    candidate triangle tiles in entry order, exiting as soon as the
+    nearest untested tile lies beyond every lane's useful t (skyline).
+
+    Motivation (measured): the 2-D grid pays ~3.5 us per (ray tile,
+    tri tile) grid step even when culled, which floors a 131k-ray sweep
+    at ~9 ms regardless of occupancy and scales linearly with scene
+    tiles.  Here skipped tiles cost nothing and idle ray tiles exit
+    after one bound check, so drain-tail sweeps are nearly free.
+    """
+    i = pl.program_id(0)
+    rays = ray_ref[:, :]
+
+    def col(c):
+        return rays[c, :].reshape(TILE_N, 1)
+
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    mint, maxt = col(6), col(7)
+
+    cx = scene_ref[0, 0]
+    cy = scene_ref[0, 1]
+    cz = scene_ref[0, 2]
+    half_diag = scene_ref[0, 3]
+    big = jnp.float32(3e37)
+    live0 = (mint <= maxt)
+    dist_c = jnp.sqrt((ox - cx) ** 2 + (oy - cy) ** 2 + (oz - cz) ** 2)
+    t_geo = dist_c + half_diag  # beyond this the ray has left the scene
+
+    def reach(live, t_hi):
+        def axis(o_c, d_c):
+            o_lo = jnp.min(jnp.where(live, o_c, big))
+            o_hi = jnp.max(jnp.where(live, o_c, -big))
+            d_lo = jnp.min(jnp.where(live, d_c, 0.0))
+            d_hi = jnp.max(jnp.where(live, d_c, 0.0))
+            return (o_lo + t_hi * jnp.minimum(d_lo, 0.0),
+                    o_hi + t_hi * jnp.maximum(d_hi, 0.0))
+        return axis(ox, dx), axis(oy, dy), axis(oz, dz)
+
+    def t_hi_of(bt, live):
+        t_cap = jnp.minimum(jnp.minimum(bt, maxt), t_geo)
+        return jnp.maximum(jnp.max(jnp.where(live, t_cap, 0.0)), 0.0)
+
+    bt0 = jnp.full((TILE_N, 1), jnp.inf, jnp.float32)
+    bi0 = jnp.full((TILE_N, 1), -1, jnp.int32)
+    bu0 = jnp.zeros((TILE_N, 1), jnp.float32)
+    bv0 = jnp.zeros((TILE_N, 1), jnp.float32)
+
+    def cond(carry):
+        k, t_hi, alive, bt, bi, bu, bv = carry
+        kc = jnp.minimum(k, n_tt - 1)  # avoid OOB read at k == n_tt
+        return (k < n_tt) & alive & (esort_ref[i, kc] <= t_hi)
+
+    def body(carry):
+        k, t_hi, alive, bt, bi, bu, bv = carry
+        jj = order_ref[i, k]
+        if any_hit:
+            live = live0 & (bi < 0)
+        else:
+            live = live0
+        (rxl, rxh), (ryl, ryh), (rzl, rzh) = reach(live, t_hi)
+        overlap = (
+            (rxh >= tb_ref[jj, 0]) & (rxl <= tb_ref[jj, 3])
+            & (ryh >= tb_ref[jj, 1]) & (ryl <= tb_ref[jj, 4])
+            & (rzh >= tb_ref[jj, 2]) & (rzl <= tb_ref[jj, 5])
+            & (entry_ref[i, jj] <= t_hi)
+        )
+
+        def sweep(args):
+            bt, bi, bu, bv = args
+            tris = tri_ref[:, pl.ds(jj * TILE_T, TILE_T)]
+            hit, t, u, v = _mt_block(
+                tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+            tm = jnp.where(hit, t, jnp.inf)
+            tile_min = jnp.min(tm, axis=1, keepdims=True)
+            is_min = (tm == tile_min) & hit
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_N, TILE_T), 1)
+            min_lane = jnp.min(
+                jnp.where(is_min, lane, jnp.int32(TILE_T)),
+                axis=1, keepdims=True)
+            first = is_min & (lane == min_lane)
+            fsel = first.astype(jnp.float32)
+            sel_idx = (jnp.sum(jnp.where(first, lane, 0), axis=1,
+                               keepdims=True) + jj * TILE_T)
+            sel_u = jnp.sum(u * fsel, axis=1, keepdims=True)
+            sel_v = jnp.sum(v * fsel, axis=1, keepdims=True)
+            better = tile_min < bt
+            return (
+                jnp.where(better, tile_min, bt),
+                jnp.where(better, sel_idx, bi),
+                jnp.where(better, sel_u, bu),
+                jnp.where(better, sel_v, bv),
+            )
+
+        bt, bi, bu, bv = jax.lax.cond(
+            overlap, sweep, lambda a: a, (bt, bi, bu, bv))
+        if any_hit:
+            live_n = live0 & (bi < 0)
+        else:
+            live_n = live0
+        t_hi_n = t_hi_of(bt, live_n)
+        alive = jnp.any(live_n) if any_hit else (t_hi_n > 0.0)
+        return k + 1, t_hi_n, alive, bt, bi, bu, bv
+
+    t_hi0 = t_hi_of(bt0[:, :1], live0)
+    alive0 = jnp.any(live0)
+    _, _, _, bt, bi, bu, bv = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), t_hi0, alive0, bt0, bi0, bu0, bv0),
+    )
+    t_ref[0, :] = bt[:, 0]
+    idx_ref[0, :] = bi[:, 0]
+    u_ref[0, :] = bu[:, 0]
+    v_ref[0, :] = bv[:, 0]
+
+
+#: resident kernel VMEM budget for the triangle soup (bytes)
+RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
+                      any_hit: bool = False):
+    """Resident-soup sweep; same contract as mt_sweep.
+
+    Requires 9*T*4 bytes of VMEM for the triangles (caller gates on
+    RESIDENT_VMEM_BUDGET).
+    """
+    _, T = tris_packed.shape
+    _, N = rays_packed.shape
+    n_rt = N // TILE_N
+    n_tt = T // TILE_T
+
+    o = rays_packed[0:3].T.reshape(n_rt, TILE_N, 1, 3)
+    dvec = rays_packed[3:6].T.reshape(n_rt, TILE_N, 1, 3)
+    mint_r = rays_packed[6].reshape(n_rt, TILE_N, 1)
+    maxt_r = rays_packed[7].reshape(n_rt, TILE_N, 1)
+    live = mint_r <= maxt_r
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(dvec) < 1e-20, jnp.where(dvec < 0, -1e-20, 1e-20), dvec)
+    bmn = tile_bounds[None, None, :, 0:3]
+    bmx = tile_bounds[None, None, :, 3:6]
+    t0 = (bmn - o) * inv_d
+    t1 = (bmx - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tn <= tf) & (tf >= mint_r) & (tn <= maxt_r) & live
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+    entry_rt = jnp.min(entry, axis=1)                  # (n_rt, n_tt)
+    tile_order = jnp.argsort(entry_rt, axis=1).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(entry_rt, tile_order, axis=1)
+
+    kernel = functools.partial(
+        _mt_resident_kernel, n_tt=n_tt, any_hit=any_hit)
+    interpret = jax.default_backend() == "cpu"
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+        jax.ShapeDtypeStruct((1, N), jnp.int32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, TILE_N), lambda i, *pref: (0, i),
+                     memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # tile_order, entry_rt, entry_sorted
+        grid=(n_rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene bounds
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile bounds
+            pl.BlockSpec((9, T), lambda i, *pref: (0, 0),
+                         memory_space=pltpu.VMEM),   # whole soup
+            pl.BlockSpec((8, TILE_N), lambda i, *pref: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    t, idx, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=45 * N * T // 2, bytes_accessed=4 * (9 * T + 24 * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tile_order, entry_rt, entry_sorted, scene_bounds, tile_bounds,
+      tris_packed, rays_packed)
+    return t[0], idx[0], u[0], v[0]
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit", "cull"))
 def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
              any_hit: bool = False, cull: bool = True):

@@ -217,13 +217,22 @@ def intersect_bvh(scene, o, d, mint, maxt, any_hit: bool = False,
 
 
 def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
-    from nori_tpu.accel.pallas_mt import mt_sweep, pack_rays
+    from nori_tpu.accel.pallas_mt import (
+        RESIDENT_VMEM_BUDGET, mt_sweep, mt_sweep_resident, pack_rays,
+    )
 
     rays, n = pack_rays(o, d, mint, maxt)
-    t, idx, u, v = mt_sweep(
-        scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds, rays,
-        any_hit=any_hit,
-    )
+    T = scene.tri_packed.shape[1]
+    if 9 * T * 4 <= RESIDENT_VMEM_BUDGET:
+        t, idx, u, v = mt_sweep_resident(
+            scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,
+            rays, any_hit=any_hit,
+        )
+    else:
+        t, idx, u, v = mt_sweep(
+            scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,
+            rays, any_hit=any_hit,
+        )
     return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n], u=u[:n], v=v[:n])
 
 

@@ -60,6 +60,27 @@ def sample_emitter_point(scene, u_pick, u2):
     return y, n_y, le, pdf_area
 
 
+def sample_emitter_point_fast(scene, u_pick, u2):
+    """One-gather variant of sample_emitter_point reading the packed
+    (E, 24) emissive table (SceneData.em_attr)."""
+    idx, _ = sample_discrete(scene.em_cdf, u_pick)
+    a = scene.em_attr[idx]                        # (N, 24)
+    su = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
+    b1 = 1.0 - su
+    b2 = u2[..., 1] * su
+    b0 = 1.0 - b1 - b2
+    y = a[:, 0:3] + b1[..., None] * a[:, 3:6] + b2[..., None] * a[:, 6:9]
+    n_y = normalize(
+        b0[..., None] * a[:, 9:12]
+        + b1[..., None] * a[:, 12:15]
+        + b2[..., None] * a[:, 15:18],
+        eps=1e-24,
+    )
+    le = a[:, 18:21]
+    pdf_area = jnp.where(scene.em_area > 0.0, 1.0 / scene.em_area, 0.0)
+    return y, n_y, le, pdf_area
+
+
 def shadow_ray_args(p, y):
     """Ray setup for a visibility test between surface points p and y."""
     dvec = y - p

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from nori_tpu.core.vecmath import normalize
@@ -61,4 +62,35 @@ def fill_interaction(scene, hit: Hit, o, d) -> Interaction:
         mesh=scene.tri_mesh[tri],
         tri=tri,
         wi_world=-d,
+    )
+
+
+def fill_interaction_fast(scene, hit: Hit, o, d) -> Interaction:
+    """One-gather interaction fill for the hot wavefront path.
+
+    Reads the packed (T, 20) attribute table (SceneData.tri_attr) in a
+    single row gather and reconstructs p as o + t*d (the barycentric
+    form differs by ~1 ulp*t; the shadow-epsilon budget absorbs it).
+    """
+    tri = jnp.maximum(hit.tri, 0)
+    u, v = hit.u, hit.v
+    b0 = 1.0 - u - v
+    a = scene.tri_attr[tri]                       # (N, 20)
+    p = o + hit.t[:, None] * d
+    geo_n = a[:, 0:3]
+    sh_n = normalize(
+        b0[:, None] * a[:, 3:6]
+        + u[:, None] * a[:, 6:9]
+        + v[:, None] * a[:, 9:12],
+        eps=1e-24,
+    )
+    uv = (
+        b0[:, None] * a[:, 12:14]
+        + u[:, None] * a[:, 14:16]
+        + v[:, None] * a[:, 16:18]
+    )
+    mesh = jax.lax.bitcast_convert_type(a[:, 18], jnp.int32)
+    return Interaction(
+        valid=hit.valid, t=hit.t, p=p, uv=uv, geo_n=geo_n, sh_n=sh_n,
+        mesh=mesh, tri=tri, wi_world=-d,
     )

@@ -44,6 +44,17 @@ class SceneData(NamedTuple):
     tri_uv1: jnp.ndarray  # (T, 2)
     tri_uv2: jnp.ndarray  # (T, 2)
     tri_mesh: jnp.ndarray  # (T,) int32 mesh id
+    # packed per-triangle shading attributes, ONE gather per hit
+    # (XLA TPU pays ~per-row for gathers, so 10 separate (T,3) gathers
+    # cost ~2.5x one (T,20) gather): [geo_n(3), n0(3), n1(3), n2(3),
+    # uv0(2), uv1(2), uv2(2), mesh-id-bits(1), pad(1)]
+    tri_attr: jnp.ndarray  # (T, 20)
+    # packed emissive-sample table, indexed by CDF sample position:
+    # [v0(3), e1(3), e2(3), n0(3), n1(3), n2(3), radiance(3), pad(3)]
+    em_attr: jnp.ndarray   # (E, 24)
+    # packed per-mesh shading row (one gather = BSDF params + emission):
+    # [type-bits(1), albedo(3), alpha, int_ior, ext_ior, ks, Le(3), pad]
+    mesh_attr: jnp.ndarray  # (M, 12)
     tri_packed: jnp.ndarray  # (9, T) [v0|e1|e2] layout for the MT sweep kernel
     tri_tile_bounds: jnp.ndarray  # (T/TILE_T, 8) per-tile AABBs for culling
     scene_bounds: jnp.ndarray  # (1, 8) [center xyz, half-diag, ...]
@@ -265,12 +276,46 @@ class Scene(NoriObject):
             )
             cdf = np.concatenate([cdf, np.ones(epad, dtype=np.float32)])
 
+        # --- packed per-triangle shading attributes --------------------------
+        gn_f = np.cross(e1, e2)
+        gn_f = gn_f / np.maximum(
+            np.linalg.norm(gn_f, axis=-1, keepdims=True), 1e-24)
+        tri_attr = np.concatenate(
+            [gn_f.astype(np.float32), n0, n1, n2, uv0, uv1, uv2,
+             tri_mesh.astype(np.int32).view(np.float32)[:, None],
+             np.zeros((v0.shape[0], 1), np.float32)],
+            axis=1,
+        ).astype(np.float32)
+
+        # --- packed emissive-sample table ------------------------------------
+        et = em_tri
+        em_attr = np.concatenate(
+            [v0[et], e1[et], e2[et], n0[et], n1[et], n2[et],
+             em_rad[tri_mesh[et]], np.zeros((et.shape[0], 3), np.float32)],
+            axis=1,
+        ).astype(np.float32)
+
+        mesh_attr = np.concatenate(
+            [np.asarray(bsdf_table.type, np.int32).view(np.float32)[:, None],
+             np.asarray(bsdf_table.albedo, np.float32),
+             np.asarray(bsdf_table.alpha, np.float32)[:, None],
+             np.asarray(bsdf_table.int_ior, np.float32)[:, None],
+             np.asarray(bsdf_table.ext_ior, np.float32)[:, None],
+             np.asarray(bsdf_table.ks, np.float32)[:, None],
+             em_rad,
+             np.zeros((len(self.meshes), 1), np.float32)],
+            axis=1,
+        ).astype(np.float32)
+
         self._data = SceneData(
             tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1), tri_e2=jnp.asarray(e2),
             tri_n0=jnp.asarray(n0), tri_n1=jnp.asarray(n1), tri_n2=jnp.asarray(n2),
             tri_uv0=jnp.asarray(uv0), tri_uv1=jnp.asarray(uv1),
             tri_uv2=jnp.asarray(uv2),
             tri_mesh=jnp.asarray(tri_mesh),
+            tri_attr=jnp.asarray(tri_attr),
+            em_attr=jnp.asarray(em_attr),
+            mesh_attr=jnp.asarray(mesh_attr),
             tri_packed=jnp.asarray(
                 np.concatenate([v0.T, e1.T, e2.T], axis=0)
             ),

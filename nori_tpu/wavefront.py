@@ -15,8 +15,22 @@ Scheduling: the step body is ONE jitted function advanced from the
 host with donated state (on the axon-tunneled TPU platform,
 `lax.while_loop` pays a per-iteration host round-trip that grows with
 program size, so host stepping with an occupancy check every few
-iterations is strictly faster).  Radiance results are scatter-added
-into a per-work-item buffer; the film splat happens once per chunk.
+iterations is strictly faster).  Occupancy checks are pipelined: the
+host reads the check from one window ago so the device queue never
+drains on the ~100 ms tunnel round-trip.
+
+Completion flush (measured: XLA TPU scatter costs ~90 ns/row, so the
+obvious L_out.at[q].add over 131k lanes costs ~12 ms/step): terminated
+lanes' (q, L) records are instead appended DENSELY to a per-chunk
+record log.  The per-step coherence sort places freshly-terminated
+lanes at the end of the lane array; the flipped record columns go into
+the log with one dynamic_update_slice at a running cursor, overwriting
+the previous step's garbage tail.  Every work item terminates exactly
+once, so after the chunk drains the log holds each sample exactly once
+and ONE argsort by q restores sample order for the film splat.
+
+State travels through the per-step coherence sort as a single packed
+(N, 21) matrix — one fused gather instead of 12 row gathers (2.9x).
 
 Determinism: lanes key the counter-based RNG by global sample id, so
 results are independent of lane scheduling, batching and device count.
@@ -34,9 +48,9 @@ from nori_tpu.core.vecmath import EPSILON, dot, make_frame, to_local, to_world
 from nori_tpu.core import rng
 from nori_tpu.bsdf import eval_bsdf, pdf_bsdf, sample_bsdf, E_DISCRETE
 from nori_tpu.accel.traverse import intersect, occluded
-from nori_tpu.interaction import fill_interaction
+from nori_tpu.interaction import fill_interaction_fast
 from nori_tpu.integrators.base import (
-    emitted_radiance, sample_emitter_point, shadow_ray_args,
+    sample_emitter_point_fast, shadow_ray_args,
 )
 from nori_tpu.integrators.path import MATS, EMS, MIS, RR_START, RR_MAX
 from nori_tpu.render import JITTER_STREAM
@@ -52,14 +66,56 @@ CHECK_EVERY = 16
 SHRINK_FACTOR = 8
 
 
+#: sort keys: survivors get morton|octant (< 2^27); idle and done lanes
+#: sort after every survivor, with done lanes LAST so the flipped
+#: record window starts with the real records
+KEY_IDLE = jnp.int32(1 << 29)
+KEY_DONE = jnp.int32(1 << 30)
+#: record-log q sentinel for rows that carry no sample
+REC_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _pack_state(st, rec_q, rec_l):
+    """State dict (+ record columns) -> (N, 23) f32 matrix."""
+    f32 = jnp.float32
+    cols = [
+        jax.lax.bitcast_convert_type(st["q"], f32)[:, None],
+        jax.lax.bitcast_convert_type(st["depth"], f32)[:, None],
+        st["active"].astype(f32)[:, None],
+        st["spec"].astype(f32)[:, None],
+        st["prev_pdf"][:, None],
+        st["mint"][:, None],
+        st["maxt"][:, None],
+        st["o"], st["d"], st["beta"], st["L"],
+        jax.lax.bitcast_convert_type(rec_q, f32)[:, None],
+        rec_l,
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_state(m, q0):
+    return dict(
+        q=jax.lax.bitcast_convert_type(m[:, 0], jnp.uint32),
+        depth=jax.lax.bitcast_convert_type(m[:, 1], jnp.int32),
+        active=m[:, 2] > 0.5,
+        spec=m[:, 3] > 0.5,
+        prev_pdf=m[:, 4],
+        mint=m[:, 5],
+        maxt=m[:, 6],
+        o=m[:, 7:10], d=m[:, 10:13], beta=m[:, 13:16], L=m[:, 16:19],
+        q0=q0,
+    )
+
+
 def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                            max_depth: int = MAX_DEPTH,
                            sort_rays: bool | None = None):
     """Build (init, step, n_active) jitted functions.
 
-    carry = (state dict, next_q, L_out (chunk, 3), rays, q_hi);
-    work item q in [q0, q_hi) renders sample (q % spp) of pixel
-    (q // spp).
+    carry = (state dict, next_q, records (chunk + N, 4), w_cursor,
+    rays, q_hi); work item q in [q0, q_hi) renders sample (q % spp) of
+    pixel (q // spp).  records rows are [q-bits, L.rgb]; rows past the
+    cursor are garbage that later windows overwrite.
     """
     cam = scene.camera
     w, h = cam.output_size
@@ -69,7 +125,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     N = n_lanes
     if sort_rays is None:
         # coherence sorting only pays off when the sweep has enough
-        # triangle tiles for culling to prune (cost ~7 ms/step)
+        # triangle tiles for culling to prune
         sort_rays = scene.compile().tri_tile_bounds.shape[0] >= 16
 
     def camera_ray(seed, q):
@@ -86,6 +142,8 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         q = q0 + jnp.arange(N, dtype=jnp.uint32)
         active = q < q_hi
         o, d, mint, maxt = camera_ray(seed, q)
+        mint = jnp.where(active, mint, 1.0)
+        maxt = jnp.where(active, maxt, -1.0)
         state = dict(
             q=q, q0=jnp.broadcast_to(q0, ()), active=active,
             depth=jnp.zeros((N,), jnp.int32),
@@ -95,16 +153,22 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             spec=jnp.ones((N,), bool),
             prev_pdf=jnp.zeros((N,), jnp.float32),
         )
+        records = jnp.concatenate([
+            jnp.full((chunk + N, 1),
+                     jax.lax.bitcast_convert_type(REC_SENTINEL, jnp.float32)),
+            jnp.zeros((chunk + N, 3), jnp.float32),
+        ], axis=1)
         return (
             state, q0 + jnp.uint32(N),
-            jnp.zeros((chunk, 3), jnp.float32),
-            jnp.zeros((), jnp.int32),
+            records,
+            jnp.zeros((), jnp.int32),   # write cursor
+            jnp.zeros((), jnp.int32),   # ray counter
             q_hi,
         )
 
     @partial(jax.jit, donate_argnums=(1,))
     def step(sd, carry, seed):
-        st, next_q, L_out, rays, q_hi = carry
+        st, next_q, records, w_cur, rays, q_hi = carry
         q, active, depth = st["q"], st["active"], st["depth"]
         q0 = st["q0"]
         o, d, mint, maxt = st["o"], st["d"], st["mint"], st["maxt"]
@@ -113,11 +177,23 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
 
         rays = rays + jnp.sum(active, dtype=jnp.int32)
         hit = intersect(sd, o, d, mint, maxt)
-        its = fill_interaction(sd, hit, o, d)
+        its = fill_interaction_fast(sd, hit, o, d)
         live_hit = active & its.valid
 
+        # ---- per-mesh row: BSDF params + emission in ONE gather ------
+        am = sd.mesh_attr[its.mesh]
+        from nori_tpu.bsdf import BSDFParams
+
+        params = BSDFParams(
+            type=jax.lax.bitcast_convert_type(am[:, 0], jnp.int32),
+            albedo=am[:, 1:4], alpha=am[:, 4],
+            int_ior=am[:, 5], ext_ior=am[:, 6], ks=am[:, 7],
+        )
+        mesh_le = am[:, 8:11]
+
         # ---- emitter hit --------------------------------------------
-        le = emitted_radiance(sd, its)
+        front = dot(its.sh_n, its.wi_world) > 0.0
+        le = jnp.where((its.valid & front)[:, None], mesh_le, 0.0)
         if mode == MATS:
             w_em = jnp.ones((N,), jnp.float32)
         elif mode == EMS:
@@ -137,14 +213,14 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
 
         frame = make_frame(its.sh_n)
         wi_local = to_local(frame, its.wi_world)
-        params = sd.bsdf.gather(its.mesh)
         du = depth.astype(jnp.uint32) * jnp.uint32(8)
 
         # ---- next-event estimation ----------------------------------
         if use_nee:
             u_pick = rng.uniform(seed, q, du + jnp.uint32(1))
             u2 = rng.uniform2(seed, q, du + jnp.uint32(2))
-            y, n_y, le_y, pdf_area = sample_emitter_point(sd, u_pick, u2)
+            y, n_y, le_y, pdf_area = sample_emitter_point_fast(
+                sd, u_pick, u2)
             wo_w, dist, smint, smaxt = shadow_ray_args(its.p, y)
             cos_l = dot(n_y, -wo_w)
             wo_local = to_local(frame, wo_w)
@@ -187,12 +263,14 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         alive = alive & (jnp.max(s.weight, axis=-1) > 0.0)
         alive = alive & (depth + 1 < max_depth)
 
-        # ---- terminate & flush --------------------------------------
+        # ---- terminate ----------------------------------------------
         done = active & ~alive
-        slot = jnp.where(done, (q - q0).astype(jnp.int32), chunk)
-        L_out = L_out.at[slot].add(
-            jnp.where(done[:, None], L, 0.0), mode="drop"
-        )
+        # record columns captured BEFORE regen overwrites q/L; non-done
+        # rows get the sentinel so garbage window rows can never
+        # collide with a real sample slot in the log
+        rec_q = jnp.where(done, q, REC_SENTINEL)
+        rec_l = jnp.where(done[:, None], L, 0.0)
+        n_flush = jnp.sum(done, dtype=jnp.int32)
 
         # ---- regenerate ---------------------------------------------
         ranks = jnp.cumsum(done.astype(jnp.uint32)) - done
@@ -223,46 +301,65 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             prev_pdf=prev_pdf,
         )
 
-        # ---- coherence sort -----------------------------------------
-        # The sweep kernel culls triangle tiles per RAY TILE, so lanes
-        # are re-ordered every step by (origin morton cell, direction
-        # octant): bounce rays regain spatial coherence and the culling
-        # prunes most tiles for them too.
-        if not sort_rays:
-            return (st, next_q, L_out, rays, q_hi)
-        span = jnp.maximum(sd.bbox_max - sd.bbox_min, 1e-12)
-        cell = jnp.clip(
-            ((o - sd.bbox_min) / span * 64.0).astype(jnp.int32), 0, 63
-        )
-        mx, my, mz = cell[:, 0], cell[:, 1], cell[:, 2]
+        # ---- coherence sort + record window -------------------------
+        # Survivors are ordered by (origin morton cell, direction
+        # octant) so the sweep kernel's per-ray-tile culling keeps
+        # pruning for bounce rays; freshly terminated lanes sort LAST
+        # (idle in between), so flipping the sorted record columns puts
+        # the n_flush real records first in the window written at the
+        # log cursor.  The whole state crosses the permutation as one
+        # packed matrix: a single fused gather.
+        if sort_rays:
+            span = jnp.maximum(sd.bbox_max - sd.bbox_min, 1e-12)
+            cell = jnp.clip(
+                ((o - sd.bbox_min) / span * 64.0).astype(jnp.int32), 0, 63
+            )
+            mx, my, mz = cell[:, 0], cell[:, 1], cell[:, 2]
 
-        def _spread(b):
-            b = (b | (b << 16)) & 0x030000FF
-            b = (b | (b << 8)) & 0x0300F00F
-            b = (b | (b << 4)) & 0x030C30C3
-            b = (b | (b << 2)) & 0x09249249
-            return b
+            def _spread(b):
+                b = (b | (b << 16)) & 0x030000FF
+                b = (b | (b << 8)) & 0x0300F00F
+                b = (b | (b << 4)) & 0x030C30C3
+                b = (b | (b << 2)) & 0x09249249
+                return b
 
-        morton = _spread(mx) | (_spread(my) << 1) | (_spread(mz) << 2)
-        octant = (
-            (d[:, 0] > 0).astype(jnp.int32)
-            + 2 * (d[:, 1] > 0).astype(jnp.int32)
-            + 4 * (d[:, 2] > 0).astype(jnp.int32)
-        )
-        key = (morton << 3) | octant
-        key = jnp.where(active, key, jnp.int32(1 << 30))
+            morton = _spread(mx) | (_spread(my) << 1) | (_spread(mz) << 2)
+            octant = (
+                (d[:, 0] > 0).astype(jnp.int32)
+                + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                + 4 * (d[:, 2] > 0).astype(jnp.int32)
+            )
+            skey = (morton << 3) | octant
+        else:
+            skey = jnp.zeros((N,), jnp.int32)
+        key = jnp.where(
+            done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
         perm = jnp.argsort(key)
-        st = {
-            k: (v[perm] if getattr(v, "ndim", 0) >= 1 else v)
-            for k, v in st.items()
-        }
-        return (st, next_q, L_out, rays, q_hi)
+        m = _pack_state(st, rec_q, rec_l)[perm]
+        st = _unpack_state(m, q0)
+        window = m[::-1, 19:23]
+        records = jax.lax.dynamic_update_slice(records, window, (w_cur, 0))
+        w_cur = w_cur + n_flush
+        return (st, next_q, records, w_cur, rays, q_hi)
 
     @jax.jit
     def n_active(carry):
         return jnp.sum(carry[0]["active"], dtype=jnp.int32)
 
-    return init, step, n_active
+    @jax.jit
+    def finalize(records, q0):
+        """Record log -> L_out (chunk, 3) in work-item order.
+
+        Every q in [q0, q_hi) terminated exactly once, so sorting the
+        log rows by q yields slot order; sentinel rows (zero radiance)
+        sort last and pad the [q_hi-q0, chunk) range of partial chunks.
+        """
+        qs = jax.lax.bitcast_convert_type(records[:chunk, 0], jnp.uint32)
+        qs = qs - q0  # sentinel wraps to a huge value, sorts last
+        ordr = jnp.argsort(qs)
+        return records[:chunk, 1:4][ordr]
+
+    return init, step, n_active, finalize
 
 
 def make_shrink(n_from: int, n_to: int):
@@ -271,7 +368,7 @@ def make_shrink(n_from: int, n_to: int):
 
     @jax.jit
     def shrink(carry):
-        st, next_q, L_out, rays, q_hi = carry
+        st, next_q, records, w_cur, rays, q_hi = carry
         active = st["active"]
         rank = jnp.cumsum(active.astype(jnp.int32)) - active
         src = jnp.zeros((n_to,), jnp.int32)
@@ -287,7 +384,10 @@ def make_shrink(n_from: int, n_to: int):
             else:
                 new_st[k] = v[src]
         new_st["active"] = small_active
-        return (new_st, next_q, L_out, rays, q_hi)
+        # inactive packed lanes must keep empty ray intervals
+        new_st["mint"] = jnp.where(small_active, new_st["mint"], 1.0)
+        new_st["maxt"] = jnp.where(small_active, new_st["maxt"], -1.0)
+        return (new_st, next_q, records, w_cur, rays, q_hi)
 
     return shrink
 
@@ -296,27 +396,43 @@ def run_chunk(steppers, sd, seed, q0, q_end,
               check_every: int = CHECK_EVERY, max_iters: int = 100000):
     """Drive one chunk to completion; returns (L_out, rays).
 
-    steppers = (init, step, n_active, shrink, small_step, small_n_active)
-    — the pool is packed into the SHRINK_FACTOR-x smaller stepper once
-    occupancy drops, so the drain tail costs narrow sweeps.
+    steppers = (init, step, n_active, finalize, shrink, small_step,
+    small_n_active) — the pool is packed into the SHRINK_FACTOR-x
+    smaller stepper once occupancy drops, so the drain tail costs
+    narrow sweeps.
+
+    Occupancy checks are PIPELINED: the host acts on the check from one
+    window ago, so the ~100 ms device->host scalar fetch through the
+    axon tunnel overlaps with the next window's enqueued steps instead
+    of stalling the device.  n_active == 0 is absorbing (no work, no
+    active lanes), so acting on a stale zero is still correct; shrink
+    on a stale low count is conservative (occupancy only decays during
+    the drain).
     """
-    init, step, n_act, shrink, small_step, small_n_act = steppers
+    init, step, n_act, finalize, shrink, small_step, small_n_act = steppers
     carry = init(seed, q0, q_end)
     it = 0
     small = False
+    pending = None
     while it < max_iters:
         cur_step = small_step if small else step
         for _ in range(check_every):
             carry = cur_step(sd, carry, seed)
             it += 1
-        n = int((small_n_act if small else n_act)(carry))
-        if n == 0:
-            break
-        if not small and shrink is not None \
-                and n <= carry[0]["active"].shape[0] // SHRINK_FACTOR:
-            carry = shrink(carry)
-            small = True
-    return carry[2], carry[3]
+        handle = (small_n_act if small else n_act)(carry)  # async
+        if pending is not None:
+            n = int(pending)
+            if n == 0:
+                break
+            if not small and shrink is not None \
+                    and n <= carry[0]["active"].shape[0] // SHRINK_FACTOR:
+                carry = shrink(carry)
+                small = True
+        pending = handle
+    else:
+        raise RuntimeError("run_chunk did not drain")
+    L_out = finalize(carry[2], q0)
+    return L_out, carry[4]
 
 
 def make_dense_splat(scene, chunk: int):
@@ -418,7 +534,9 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     total_q = w * h * spp
     n_lanes = min(n_lanes, max(4096, total_q))
     if chunk is None:
-        chunk = min(total_q, 16 * n_lanes)
+        # big chunks amortize the drain tail; the record log costs
+        # 16 bytes/work-item of HBM
+        chunk = min(total_q, 64 * n_lanes)
     chunk = max(spp, (chunk // spp) * spp)
 
     # cache compiled steppers on the scene (jit caches are per-function
@@ -426,16 +544,17 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     cache_key = (mode, n_lanes, chunk, spp, max_depth, w, h, sort_rays)
     cache = getattr(scene, "_wf_cache", None)
     if cache is None or cache[0] != cache_key:
-        init, step, n_act = make_wavefront_stepper(
+        init, step, n_act, finalize = make_wavefront_stepper(
             scene, mode, n_lanes, chunk, max_depth, sort_rays)
         n_small = max(1024, n_lanes // SHRINK_FACTOR)
         if n_small < n_lanes:
             shrink = make_shrink(n_lanes, n_small)
-            _, small_step, small_n_act = make_wavefront_stepper(
+            _, small_step, small_n_act, _ = make_wavefront_stepper(
                 scene, mode, n_small, chunk, max_depth, sort_rays)
         else:
             shrink, small_step, small_n_act = None, step, n_act
-        steppers = (init, step, n_act, shrink, small_step, small_n_act)
+        steppers = (init, step, n_act, finalize, shrink, small_step,
+                    small_n_act)
         dense = make_dense_splat(scene, chunk)
         scene._wf_cache = (cache_key, steppers, dense)
     _, steppers, dense = scene._wf_cache
