@@ -222,7 +222,7 @@ def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
     return hit, t, u, v
 
 
-def _mt_resident_kernel(order_ref, entry_ref, esort_ref, scene_ref, tb_ref,
+def _mt_resident_kernel(oe_ref, scene_ref, tb_ref,
                         tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
                         *, n_tt: int, any_hit: bool):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
@@ -235,6 +235,11 @@ def _mt_resident_kernel(order_ref, entry_ref, esort_ref, scene_ref, tb_ref,
     at ~9 ms regardless of occupancy and scales linearly with scene
     tiles.  Here skipped tiles cost nothing and idle ray tiles exit
     after one bound check, so drain-tail sweeps are nearly free.
+
+    oe_ref packs [tile order (as f32) | sorted entry distance] in one
+    (n_rt, 2*n_tt) SMEM operand: prefetched SMEM operands are padded to
+    128 lanes each, so operand COUNT (not width) is what blows the 1MB
+    SMEM budget (the caller also chunks rays to bound n_rt).
     """
     i = pl.program_id(0)
     rays = ray_ref[:, :]
@@ -277,21 +282,21 @@ def _mt_resident_kernel(order_ref, entry_ref, esort_ref, scene_ref, tb_ref,
     def cond(carry):
         k, t_hi, alive, bt, bi, bu, bv = carry
         kc = jnp.minimum(k, n_tt - 1)  # avoid OOB read at k == n_tt
-        return (k < n_tt) & alive & (esort_ref[i, kc] <= t_hi)
+        return (k < n_tt) & alive & (oe_ref[i, n_tt + kc] <= t_hi)
 
     def body(carry):
         k, t_hi, alive, bt, bi, bu, bv = carry
-        jj = order_ref[i, k]
+        jj = oe_ref[i, k].astype(jnp.int32)
         if any_hit:
             live = live0 & (bi < 0)
         else:
             live = live0
         (rxl, rxh), (ryl, ryh), (rzl, rzh) = reach(live, t_hi)
+        # (the entry <= t_hi skyline test is implied by the while cond)
         overlap = (
             (rxh >= tb_ref[jj, 0]) & (rxl <= tb_ref[jj, 3])
             & (ryh >= tb_ref[jj, 1]) & (ryl <= tb_ref[jj, 4])
             & (rzh >= tb_ref[jj, 2]) & (rzl <= tb_ref[jj, 5])
-            & (entry_ref[i, jj] <= t_hi)
         )
 
         def sweep(args):
@@ -347,14 +352,15 @@ def _mt_resident_kernel(order_ref, entry_ref, esort_ref, scene_ref, tb_ref,
 RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
-                      any_hit: bool = False):
-    """Resident-soup sweep; same contract as mt_sweep.
+#: SMEM budget for the packed order|entry prefetch operand (bytes);
+#: the hardware bank is 1MB and the padded operand costs
+#: n_rt * roundup(2*n_tt, 128) * 4
+RESIDENT_SMEM_BUDGET = 512 * 1024
 
-    Requires 9*T*4 bytes of VMEM for the triangles (caller gates on
-    RESIDENT_VMEM_BUDGET).
-    """
+
+def _resident_call(tris_packed, tile_bounds, scene_bounds, rays_packed,
+                   any_hit: bool):
+    """One pallas_call of the resident kernel over all given rays."""
     _, T = tris_packed.shape
     _, N = rays_packed.shape
     n_rt = N // TILE_N
@@ -376,8 +382,10 @@ def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
     hit = (tn <= tf) & (tf >= mint_r) & (tn <= maxt_r) & live
     entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
     entry_rt = jnp.min(entry, axis=1)                  # (n_rt, n_tt)
-    tile_order = jnp.argsort(entry_rt, axis=1).astype(jnp.int32)
+    tile_order = jnp.argsort(entry_rt, axis=1)
     entry_sorted = jnp.take_along_axis(entry_rt, tile_order, axis=1)
+    order_entry = jnp.concatenate(
+        [tile_order.astype(jnp.float32), entry_sorted], axis=1)
 
     kernel = functools.partial(
         _mt_resident_kernel, n_tt=n_tt, any_hit=any_hit)
@@ -394,7 +402,7 @@ def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
         for _ in range(4)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # tile_order, entry_rt, entry_sorted
+        num_scalar_prefetch=1,   # packed [order | sorted entry]
         grid=(n_rt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scene bounds
@@ -415,9 +423,37 @@ def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tile_order, entry_rt, entry_sorted, scene_bounds, tile_bounds,
-      tris_packed, rays_packed)
+    )(order_entry, scene_bounds, tile_bounds, tris_packed, rays_packed)
     return t[0], idx[0], u[0], v[0]
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
+                      any_hit: bool = False):
+    """Resident-soup sweep; same contract as mt_sweep.
+
+    Requires 9*T*4 bytes of VMEM for the triangles (caller gates on
+    RESIDENT_VMEM_BUDGET); rays are processed in chunks sized so the
+    prefetched order|entry table fits the SMEM budget.
+    """
+    _, T = tris_packed.shape
+    _, N = rays_packed.shape
+    n_tt = T // TILE_T
+    pad_cols = -(-2 * n_tt // 128) * 128
+    max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
+    chunk_rays = max_rt * TILE_N
+    if N <= chunk_rays:
+        return _resident_call(
+            tris_packed, tile_bounds, scene_bounds, rays_packed, any_hit)
+    outs = [[], [], [], []]
+    for lo in range(0, N, chunk_rays):
+        hi = min(lo + chunk_rays, N)
+        res = _resident_call(
+            tris_packed, tile_bounds, scene_bounds,
+            rays_packed[:, lo:hi], any_hit)
+        for acc, r in zip(outs, res):
+            acc.append(r)
+    return tuple(jnp.concatenate(a) for a in outs)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "cull"))
