@@ -40,7 +40,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 256   # rays per tile (sublane-major)
-TILE_T = 512   # triangles per tile (lane-major)
+TILE_T = 512   # triangles per tile, 2-D streamed kernel (lane-major)
+#: resident-kernel triangle tile: one lane register wide.  Finer tiles
+#: cut tested pairs ~4x on the reference pa5 scenes (measured: table
+#: 1.6k -> 0.42k pairs/ray, cbox 2.2k -> 0.59k with mask-sorted rays)
+#: because each 256-lane ray tile only sweeps the union of its lanes'
+#: slab-test candidates.  Scene tile bounds are built at this
+#: granularity; the 2-D kernel derives its coarse 512-tile bounds by
+#: reduction.
+FINE_T = 128
 
 
 def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
@@ -222,24 +230,37 @@ def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
     return hit, t, u, v
 
 
-def _mt_resident_kernel(oe_ref, scene_ref, tb_ref,
-                        tri_ref, ray_ref, t_ref, idx_ref, u_ref, v_ref,
+def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
+                        t_ref,
                         *, n_tt: int, any_hit: bool):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
     nearest untested tile lies beyond every lane's useful t (skyline).
 
-    Motivation (measured): the 2-D grid pays ~3.5 us per (ray tile,
-    tri tile) grid step even when culled, which floors a 131k-ray sweep
-    at ~9 ms regardless of occupancy and scales linearly with scene
-    tiles.  Here skipped tiles cost nothing and idle ray tiles exit
-    after one bound check, so drain-tail sweeps are nearly free.
+    The candidate list is exact (the preamble slab-tests every lane
+    against every FINE_T-tile AABB), so the loop body is just the MT
+    block + the closest-hit fold + one t_hi reduction — no per-
+    iteration AABB reach test (measured: the old reach/overlap
+    recompute cost ~1.5-2 us of the ~5.7 us per visited tile).
+
+    Motivation vs the 2-D grid (measured): the 2-D grid pays ~3.5 us
+    per (ray tile, tri tile) grid step even when culled, which floors a
+    131k-ray sweep at ~9 ms regardless of occupancy.  Here skipped
+    tiles cost nothing and idle ray tiles exit after one bound check.
 
     oe_ref packs [tile order (as f32) | sorted entry distance] in one
     (n_rt, 2*n_tt) SMEM operand: prefetched SMEM operands are padded to
     128 lanes each, so operand COUNT (not width) is what blows the 1MB
     SMEM budget (the caller also chunks rays to bound n_rt).
+
+    Layout notes (all measured on the v5e chip): rays stay (8, TILE_N)
+    — the lane->sublane reshape of the 8 components compiles to a fast
+    layout, whereas loading rays ROW-major (TILE_N, 8) makes the
+    (TILE_N,1)x(1,FINE_T) MT broadcasts 3x slower.  t and idx leave as
+    ONE packed (TILE_N, 2) block: the old four separate (1, TILE_N)
+    output writes floored a zero-visit 131k-ray sweep at ~3 ms; packed,
+    the floor is ~1.2 ms.
     """
     i = pl.program_id(0)
     rays = ray_ref[:, :]
@@ -251,101 +272,58 @@ def _mt_resident_kernel(oe_ref, scene_ref, tb_ref,
     dx, dy, dz = col(3), col(4), col(5)
     mint, maxt = col(6), col(7)
 
-    cx = scene_ref[0, 0]
-    cy = scene_ref[0, 1]
-    cz = scene_ref[0, 2]
-    half_diag = scene_ref[0, 3]
-    big = jnp.float32(3e37)
     live0 = (mint <= maxt)
-    dist_c = jnp.sqrt((ox - cx) ** 2 + (oy - cy) ** 2 + (oz - cz) ** 2)
-    t_geo = dist_c + half_diag  # beyond this the ray has left the scene
-
-    def reach(live, t_hi):
-        def axis(o_c, d_c):
-            o_lo = jnp.min(jnp.where(live, o_c, big))
-            o_hi = jnp.max(jnp.where(live, o_c, -big))
-            d_lo = jnp.min(jnp.where(live, d_c, 0.0))
-            d_hi = jnp.max(jnp.where(live, d_c, 0.0))
-            return (o_lo + t_hi * jnp.minimum(d_lo, 0.0),
-                    o_hi + t_hi * jnp.maximum(d_hi, 0.0))
-        return axis(ox, dx), axis(oy, dy), axis(oz, dz)
 
     def t_hi_of(bt, live):
-        t_cap = jnp.minimum(jnp.minimum(bt, maxt), t_geo)
+        t_cap = jnp.minimum(bt, maxt)
         return jnp.maximum(jnp.max(jnp.where(live, t_cap, 0.0)), 0.0)
 
     bt0 = jnp.full((TILE_N, 1), jnp.inf, jnp.float32)
     bi0 = jnp.full((TILE_N, 1), -1, jnp.int32)
-    bu0 = jnp.zeros((TILE_N, 1), jnp.float32)
-    bv0 = jnp.zeros((TILE_N, 1), jnp.float32)
 
     def cond(carry):
-        k, t_hi, alive, bt, bi, bu, bv = carry
+        k, t_hi, alive, bt, bi = carry
         kc = jnp.minimum(k, n_tt - 1)  # avoid OOB read at k == n_tt
         return (k < n_tt) & alive & (oe_ref[i, n_tt + kc] <= t_hi)
 
     def body(carry):
-        k, t_hi, alive, bt, bi, bu, bv = carry
+        k, t_hi, alive, bt, bi = carry
         jj = oe_ref[i, k].astype(jnp.int32)
-        if any_hit:
-            live = live0 & (bi < 0)
-        else:
-            live = live0
-        (rxl, rxh), (ryl, ryh), (rzl, rzh) = reach(live, t_hi)
-        # (the entry <= t_hi skyline test is implied by the while cond)
-        overlap = (
-            (rxh >= tb_ref[jj, 0]) & (rxl <= tb_ref[jj, 3])
-            & (ryh >= tb_ref[jj, 1]) & (ryl <= tb_ref[jj, 4])
-            & (rzh >= tb_ref[jj, 2]) & (rzl <= tb_ref[jj, 5])
-        )
-
-        def sweep(args):
-            bt, bi, bu, bv = args
-            tris = tri_ref[:, pl.ds(jj * TILE_T, TILE_T)]
-            hit, t, u, v = _mt_block(
-                tris, ox, oy, oz, dx, dy, dz, mint, maxt)
-            tm = jnp.where(hit, t, jnp.inf)
-            tile_min = jnp.min(tm, axis=1, keepdims=True)
-            is_min = (tm == tile_min) & hit
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_N, TILE_T), 1)
-            min_lane = jnp.min(
-                jnp.where(is_min, lane, jnp.int32(TILE_T)),
-                axis=1, keepdims=True)
-            first = is_min & (lane == min_lane)
-            fsel = first.astype(jnp.float32)
-            sel_idx = (jnp.sum(jnp.where(first, lane, 0), axis=1,
-                               keepdims=True) + jj * TILE_T)
-            sel_u = jnp.sum(u * fsel, axis=1, keepdims=True)
-            sel_v = jnp.sum(v * fsel, axis=1, keepdims=True)
-            better = tile_min < bt
-            return (
-                jnp.where(better, tile_min, bt),
-                jnp.where(better, sel_idx, bi),
-                jnp.where(better, sel_u, bu),
-                jnp.where(better, sel_v, bv),
-            )
-
-        bt, bi, bu, bv = jax.lax.cond(
-            overlap, sweep, lambda a: a, (bt, bi, bu, bv))
+        tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
+        hit, t, u, v = _mt_block(
+            tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+        tm = jnp.where(hit, t, jnp.inf)
+        tile_min = jnp.min(tm, axis=1, keepdims=True)
+        # ties break toward the lowest lane index; u/v are NOT selected
+        # here — the interaction fill recomputes them from the winning
+        # triangle (one row of the attribute gather it already does),
+        # which cuts the per-visit epilogue from 5 lane reductions to 2
+        is_min = (tm == tile_min) & hit
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, FINE_T), 1)
+        min_lane = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(FINE_T)),
+            axis=1, keepdims=True)
+        better = tile_min < bt
+        bt = jnp.where(better, tile_min, bt)
+        bi = jnp.where(better, min_lane + jj * FINE_T, bi)
         if any_hit:
             live_n = live0 & (bi < 0)
+            alive = jnp.any(live_n)
         else:
             live_n = live0
         t_hi_n = t_hi_of(bt, live_n)
-        alive = jnp.any(live_n) if any_hit else (t_hi_n > 0.0)
-        return k + 1, t_hi_n, alive, bt, bi, bu, bv
+        if not any_hit:
+            alive = t_hi_n > 0.0
+        return k + 1, t_hi_n, alive, bt, bi
 
     t_hi0 = t_hi_of(bt0[:, :1], live0)
     alive0 = jnp.any(live0)
-    _, _, _, bt, bi, bu, bv = jax.lax.while_loop(
+    _, _, _, bt, bi = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), t_hi0, alive0, bt0, bi0, bu0, bv0),
+        (jnp.int32(0), t_hi0, alive0, bt0, bi0),
     )
-    t_ref[0, :] = bt[:, 0]
-    idx_ref[0, :] = bi[:, 0]
-    u_ref[0, :] = bu[:, 0]
-    v_ref[0, :] = bv[:, 0]
+    t_ref[:, 0:1] = bt
+    t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
 
 
 #: resident kernel VMEM budget for the triangle soup (bytes)
@@ -358,18 +336,20 @@ RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 RESIDENT_SMEM_BUDGET = 512 * 1024
 
 
-def _resident_call(tris_packed, tile_bounds, scene_bounds, rays_packed,
-                   any_hit: bool):
-    """One pallas_call of the resident kernel over all given rays."""
-    _, T = tris_packed.shape
-    _, N = rays_packed.shape
-    n_rt = N // TILE_N
-    n_tt = T // TILE_T
+def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
+    """Per-ray-tile candidate list: slab-test every lane against every
+    FINE_T-tile AABB, reduce to the per-(ray tile, tri tile) minimum
+    entry distance (inf when no lane enters).
 
-    o = rays_packed[0:3].T.reshape(n_rt, TILE_N, 1, 3)
-    dvec = rays_packed[3:6].T.reshape(n_rt, TILE_N, 1, 3)
-    mint_r = rays_packed[6].reshape(n_rt, TILE_N, 1)
-    maxt_r = rays_packed[7].reshape(n_rt, TILE_N, 1)
+    rays_packed is (8, N).
+    Returns (entry_rt, tile_order, entry_sorted), each (n_rt, n_tt).
+    """
+    _, N = rays_packed.shape
+    n_rt = N // tile_n
+    o = rays_packed[0:3].T.reshape(n_rt, tile_n, 1, 3)
+    dvec = rays_packed[3:6].T.reshape(n_rt, tile_n, 1, 3)
+    mint_r = rays_packed[6].reshape(n_rt, tile_n, 1)
+    maxt_r = rays_packed[7].reshape(n_rt, tile_n, 1)
     live = mint_r <= maxt_r
     inv_d = 1.0 / jnp.where(
         jnp.abs(dvec) < 1e-20, jnp.where(dvec < 0, -1e-20, 1e-20), dvec)
@@ -384,73 +364,78 @@ def _resident_call(tris_packed, tile_bounds, scene_bounds, rays_packed,
     entry_rt = jnp.min(entry, axis=1)                  # (n_rt, n_tt)
     tile_order = jnp.argsort(entry_rt, axis=1)
     entry_sorted = jnp.take_along_axis(entry_rt, tile_order, axis=1)
+    return entry_rt, tile_order, entry_sorted
+
+
+def _resident_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
+    """One pallas_call of the resident kernel over all given rays.
+
+    rays_packed: (8, N).  Returns (t, idx) each (N,).
+    """
+    _, T = tris_packed.shape
+    _, N = rays_packed.shape
+    n_rt = N // TILE_N
+    n_tt = T // FINE_T
+
+    _, tile_order, entry_sorted = ray_tile_entries(tile_bounds, rays_packed)
     order_entry = jnp.concatenate(
         [tile_order.astype(jnp.float32), entry_sorted], axis=1)
 
     kernel = functools.partial(
         _mt_resident_kernel, n_tt=n_tt, any_hit=any_hit)
     interpret = jax.default_backend() == "cpu"
-    out_shapes = [
-        jax.ShapeDtypeStruct((1, N), jnp.float32),
-        jax.ShapeDtypeStruct((1, N), jnp.int32),
-        jax.ShapeDtypeStruct((1, N), jnp.float32),
-        jax.ShapeDtypeStruct((1, N), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, TILE_N), lambda i, *pref: (0, i),
-                     memory_space=pltpu.VMEM)
-        for _ in range(4)
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed [order | sorted entry]
         grid=(n_rt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene bounds
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile bounds
             pl.BlockSpec((9, T), lambda i, *pref: (0, 0),
                          memory_space=pltpu.VMEM),   # whole soup
             pl.BlockSpec((8, TILE_N), lambda i, *pref: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=out_specs,
+        out_specs=pl.BlockSpec((TILE_N, 2), lambda i, *pref: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
-    t, idx, u, v = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shapes,
+        out_shape=jax.ShapeDtypeStruct((N, 2), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=45 * N * T // 2, bytes_accessed=4 * (9 * T + 24 * N),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order_entry, scene_bounds, tile_bounds, tris_packed, rays_packed)
-    return t[0], idx[0], u[0], v[0]
+    )(order_entry, tris_packed, rays_packed)
+    return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit",))
 def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
                       any_hit: bool = False):
-    """Resident-soup sweep; same contract as mt_sweep.
+    """Resident-soup sweep; returns (t, idx) each (N,), idx == -1 miss.
 
-    Requires 9*T*4 bytes of VMEM for the triangles (caller gates on
-    RESIDENT_VMEM_BUDGET); rays are processed in chunks sized so the
-    prefetched order|entry table fits the SMEM budget.
+    (u, v) are NOT computed — the interaction fill recomputes them from
+    the winning triangle.  Requires 9*T*4 bytes of VMEM for the
+    triangles (caller gates on RESIDENT_VMEM_BUDGET); rays are
+    processed in chunks sized so the prefetched order|entry table fits
+    the SMEM budget.  (scene_bounds is accepted for signature
+    compatibility; the exact per-tile candidate lists made the
+    geometric reach cap redundant.)
     """
+    del scene_bounds
     _, T = tris_packed.shape
     _, N = rays_packed.shape
-    n_tt = T // TILE_T
+    n_tt = T // FINE_T
     pad_cols = -(-2 * n_tt // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
-        return _resident_call(
-            tris_packed, tile_bounds, scene_bounds, rays_packed, any_hit)
-    outs = [[], [], [], []]
+        return _resident_call(tris_packed, tile_bounds, rays_packed, any_hit)
+    outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _resident_call(
-            tris_packed, tile_bounds, scene_bounds,
-            rays_packed[:, lo:hi], any_hit)
+            tris_packed, tile_bounds, rays_packed[:, lo:hi], any_hit)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)
@@ -459,7 +444,8 @@ def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
 @functools.partial(jax.jit, static_argnames=("any_hit", "cull"))
 def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
              any_hit: bool = False, cull: bool = True):
-    """tris_packed: (9, T); tile_bounds: (T/TILE_T, 8);
+    """tris_packed: (9, T); tile_bounds: (T/FINE_T, 8) fine-granularity
+    AABBs (coarsened to TILE_T groups internally);
     scene_bounds: (1, 8) = [cx, cy, cz, half_diag, ...];
     rays_packed: (8, N); T, N tile multiples.
 
@@ -470,6 +456,14 @@ def mt_sweep(tris_packed, tile_bounds, scene_bounds, rays_packed,
     n_rt = N // TILE_N
     n_tt = T // TILE_T
     grid = (n_rt, n_tt)
+
+    # coarsen FINE_T-granularity bounds to this kernel's TILE_T tiles
+    if tile_bounds.shape[0] != n_tt:
+        grp = tile_bounds.shape[0] // n_tt
+        tb = tile_bounds.reshape(n_tt, grp, 8)
+        tile_bounds = jnp.concatenate(
+            [jnp.min(tb[:, :, 0:3], axis=1), jnp.max(tb[:, :, 3:6], axis=1),
+             jnp.zeros((n_tt, 2), tile_bounds.dtype)], axis=1)
 
     # near-to-far triangle-tile order per ray tile: exact per-ray slab
     # entry distances to every tile AABB, reduced to a per-(ray-tile,
@@ -559,4 +553,20 @@ def pack_rays(o, d, mint, maxt, pad_to: int = TILE_N):
         filler = filler.at[6, :].set(1.0)
         filler = filler.at[7, :].set(-1.0)
         packed = jnp.concatenate([packed, filler], axis=1)
+    return packed, N
+
+
+def pack_rays_rows(o, d, mint, maxt, pad_to: int = TILE_N):
+    """(N,3)x2 + (N,)x2 -> (Npad, 8) row-major [o|d|mint|maxt] with
+    never-hitting padded rays (the resident kernel's layout)."""
+    N = o.shape[0]
+    npad = (-N) % pad_to
+    packed = jnp.concatenate(
+        [o, d, mint[:, None], maxt[:, None]], axis=1
+    )
+    if npad:
+        filler = jnp.zeros((npad, 8), packed.dtype)
+        filler = filler.at[:, 6].set(1.0)   # mint > maxt: nothing hits
+        filler = filler.at[:, 7].set(-1.0)
+        packed = jnp.concatenate([packed, filler], axis=0)
     return packed, N

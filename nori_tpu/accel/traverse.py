@@ -224,10 +224,14 @@ def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
     rays, n = pack_rays(o, d, mint, maxt)
     T = scene.tri_packed.shape[1]
     if 9 * T * 4 <= RESIDENT_VMEM_BUDGET:
-        t, idx, u, v = mt_sweep_resident(
+        # resident kernel returns (t, idx) only; u/v are recomputed by
+        # the interaction fill from the winning triangle's row of the
+        # attribute gather it already performs
+        t, idx = mt_sweep_resident(
             scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,
             rays, any_hit=any_hit,
         )
+        u = v = jnp.zeros_like(t)
     else:
         t, idx, u, v = mt_sweep(
             scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,

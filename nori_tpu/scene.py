@@ -27,7 +27,7 @@ from nori_tpu.props import PropertyList
 from nori_tpu.registry import register_class, NoriError, create_instance
 from nori_tpu.bsdf import BSDFTable
 
-TRI_PAD = 512  # triangle padding granularity (= accel.pallas_mt.TILE_T)
+TRI_PAD = 512  # triangle padding granularity (LCM of sweep-kernel tiles)
 
 
 class SceneData(NamedTuple):
@@ -48,7 +48,7 @@ class SceneData(NamedTuple):
     # (XLA TPU pays ~per-row for gathers, so 10 separate (T,3) gathers
     # cost ~2.5x one (T,20) gather): [geo_n(3), n0(3), n1(3), n2(3),
     # uv0(2), uv1(2), uv2(2), mesh-id-bits(1), pad(1)]
-    tri_attr: jnp.ndarray  # (T, 20)
+    tri_attr: jnp.ndarray  # (T, 28)
     # packed emissive-sample table, indexed by CDF sample position:
     # [v0(3), e1(3), e2(3), n0(3), n1(3), n2(3), radiance(3), pad(3)]
     em_attr: jnp.ndarray   # (E, 24)
@@ -56,7 +56,7 @@ class SceneData(NamedTuple):
     # [type-bits(1), albedo(3), alpha, int_ior, ext_ior, ks, Le(3), pad]
     mesh_attr: jnp.ndarray  # (M, 12)
     tri_packed: jnp.ndarray  # (9, T) [v0|e1|e2] layout for the MT sweep kernel
-    tri_tile_bounds: jnp.ndarray  # (T/TILE_T, 8) per-tile AABBs for culling
+    tri_tile_bounds: jnp.ndarray  # (T/FINE_T, 8) per-tile AABBs for culling
     scene_bounds: jnp.ndarray  # (1, 8) [center xyz, half-diag, ...]
 
     bsdf: BSDFTable        # per-mesh BSDF params
@@ -222,15 +222,17 @@ class Scene(NoriObject):
             )
 
         # --- per-tile AABBs for sweep-kernel culling ------------------------
-        from nori_tpu.accel.pallas_mt import TILE_T
+        # FINE_T granularity: the resident kernel culls at 128 triangles;
+        # the 2-D streamed kernel coarsens these to its 512-tile groups
+        from nori_tpu.accel.pallas_mt import FINE_T
         t_padded = v0.shape[0]
-        n_tiles = t_padded // TILE_T
+        n_tiles = t_padded // FINE_T
         tile_bounds = np.zeros((n_tiles, 8), dtype=np.float32)
         p1f = v0 + e1
         p2f = v0 + e2
         for ti in range(n_tiles):
-            lo = ti * TILE_T
-            hi = min(lo + TILE_T, n_tris)  # exclude padded rows
+            lo = ti * FINE_T
+            hi = min(lo + FINE_T, n_tris)  # exclude padded rows
             if hi <= lo:
                 tile_bounds[ti, 0:3] = np.inf
                 tile_bounds[ti, 3:6] = -np.inf
@@ -280,10 +282,14 @@ class Scene(NoriObject):
         gn_f = np.cross(e1, e2)
         gn_f = gn_f / np.maximum(
             np.linalg.norm(gn_f, axis=-1, keepdims=True), 1e-24)
+        # cols 19:28 carry v0|e1|e2 so the interaction fill can
+        # recompute barycentrics for the winning triangle (the sweep
+        # kernel tracks only (t, idx))
         tri_attr = np.concatenate(
             [gn_f.astype(np.float32), n0, n1, n2, uv0, uv1, uv2,
              tri_mesh.astype(np.int32).view(np.float32)[:, None],
-             np.zeros((v0.shape[0], 1), np.float32)],
+             v0.astype(np.float32), e1.astype(np.float32),
+             e2.astype(np.float32)],
             axis=1,
         ).astype(np.float32)
 

@@ -302,14 +302,43 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         )
 
         # ---- coherence sort + record window -------------------------
-        # Survivors are ordered by (origin morton cell, direction
-        # octant) so the sweep kernel's per-ray-tile culling keeps
-        # pruning for bounce rays; freshly terminated lanes sort LAST
-        # (idle in between), so flipping the sorted record columns puts
-        # the n_flush real records first in the window written at the
-        # log cursor.  The whole state crosses the permutation as one
-        # packed matrix: a single fused gather.
-        if sort_rays:
+        # Survivors are grouped so the sweep kernel's per-ray-tile
+        # candidate UNION stays near the per-ray ideal; freshly
+        # terminated lanes sort LAST (idle in between), so flipping the
+        # sorted record columns puts the n_flush real records first in
+        # the window written at the log cursor.  The whole state
+        # crosses the permutation as one packed matrix: a single fused
+        # gather.
+        #
+        # Key choice (measured on the pa5 scenes): for scenes whose
+        # tri-tile count fits the key budget, the key IS the lane's
+        # candidate-tile bitmask (slab test vs every FINE_T-tile AABB)
+        # — lanes with identical candidate sets become adjacent, taking
+        # cbox bounce sweeps from 2.2k to 0.59k pairs/ray.  For larger
+        # scenes tiles are small relative to ray extents and the
+        # (origin morton, direction octant) key is already near the
+        # per-ray ideal (table: union 3.3 vs ideal 3.1 tiles).
+        n_tt_s = int(sd.tri_tile_bounds.shape[0])
+        if sort_rays and n_tt_s <= 28:
+            invd = 1.0 / jnp.where(
+                jnp.abs(d) < 1e-20,
+                jnp.where(d < 0, -1e-20, 1e-20), d)
+            bmn = sd.tri_tile_bounds[None, :, 0:3]
+            bmx = sd.tri_tile_bounds[None, :, 3:6]
+            t0b = (bmn - o[:, None]) * invd[:, None]
+            t1b = (bmx - o[:, None]) * invd[:, None]
+            tnb = jnp.max(jnp.minimum(t0b, t1b), axis=-1)
+            tfb = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+            cand = (
+                (tnb <= tfb) & (tfb >= mint[:, None])
+                & (tnb <= maxt[:, None])
+            )
+            bits = jnp.left_shift(
+                jnp.int32(1),
+                jnp.int32(n_tt_s - 1)
+                - jnp.arange(n_tt_s, dtype=jnp.int32))
+            skey = jnp.sum(jnp.where(cand, bits[None, :], 0), axis=1)
+        elif sort_rays:
             span = jnp.maximum(sd.bbox_max - sd.bbox_min, 1e-12)
             cell = jnp.clip(
                 ((o - sd.bbox_min) / span * 64.0).astype(jnp.int32), 0, 63
