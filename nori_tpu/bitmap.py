@@ -1,11 +1,13 @@
 """EXR / PNG image I/O.
 
 Replaces src/bitmap.cpp:32-134 (OpenEXR read/write + sRGB PNG via stb).
-No EXR library is available in this environment, so this is a minimal
+No EXR library is available in this environment, so this is a
 self-contained OpenEXR 2.0 scanline codec implemented from the public
-file-format specification: float/half RGB channels, NONE/ZIPS/ZIP
-compression, increasing-Y line order.  Matches the reference's
-conventions: RGB channel naming on read (suffix match), float channels +
+file-format specification.  Read: float/half RGB channels under
+NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A compression, increasing-Y line
+order.  Write: NONE/RLE/ZIPS/ZIP/PXR24/PIZ, half (default, like the
+reference's OpenEXR output) or float channels.  Matches the
+reference's conventions: RGB channel naming on read (suffix match),
 a "comments" attribute on write, and sRGB tonemapped 8-bit PNG output.
 """
 
@@ -21,9 +23,13 @@ from nori_tpu.core.color import np_to_srgb
 
 _MAGIC = 20000630
 _PXTYPE_UINT, _PXTYPE_HALF, _PXTYPE_FLOAT = 0, 1, 2
-_COMP_NONE, _COMP_RLE, _COMP_ZIPS, _COMP_ZIP, _COMP_PIZ = 0, 1, 2, 3, 4
-_LINES_PER_BLOCK = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16,
-                    _COMP_PIZ: 32}
+(_COMP_NONE, _COMP_RLE, _COMP_ZIPS, _COMP_ZIP, _COMP_PIZ, _COMP_PXR24,
+ _COMP_B44, _COMP_B44A) = range(8)
+_LINES_PER_BLOCK = {_COMP_NONE: 1, _COMP_RLE: 1, _COMP_ZIPS: 1,
+                    _COMP_ZIP: 16, _COMP_PIZ: 32, _COMP_PXR24: 16,
+                    _COMP_B44: 32, _COMP_B44A: 32}
+_COMP_NAMES = {"none": _COMP_NONE, "rle": _COMP_RLE, "zips": _COMP_ZIPS,
+               "zip": _COMP_ZIP, "piz": _COMP_PIZ, "pxr24": _COMP_PXR24}
 
 
 # ---------------------------------------------------------------------------
@@ -53,6 +59,220 @@ def _zip_preencode(raw: np.ndarray) -> bytes:
     d = t.astype(np.int32)
     d[1:] = (d[1:] - d[:-1] + 384) & 0xFF
     return d.astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# RLE codec (ImfRle semantics; shares the ZIP predictor/reorder transform)
+# ---------------------------------------------------------------------------
+
+_RLE_MIN_RUN = 3
+_RLE_MAX_RUN = 127
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c > 127:          # negative int8: -(c-256) literal bytes
+            count = 256 - c
+            out += data[i:i + count]
+            i += count
+        else:                # c+1 copies of the next byte
+            out += data[i:i + 1] * (c + 1)
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    n = len(data)
+    i = 0
+    lit_start = 0
+
+    def flush_literals(end):
+        j = lit_start
+        while j < end:
+            cnt = min(end - j, _RLE_MAX_RUN)
+            out.append(256 - cnt)
+            out.extend(data[j:j + cnt])
+            j += cnt
+
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] \
+                and run < _RLE_MAX_RUN:
+            run += 1
+        if run >= _RLE_MIN_RUN:
+            flush_literals(i)
+            out.append(run - 1)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PXR24 codec (ImfPxr24Compressor semantics): per (scanline, channel)
+# run, pixels are difference-coded and split into big-endian byte
+# planes (FLOAT keeps the top 24 bits of the f32 pattern), then zlib.
+# ---------------------------------------------------------------------------
+
+def _pxr24_planes(ptype: int) -> int:
+    return {_PXTYPE_UINT: 4, _PXTYPE_HALF: 2, _PXTYPE_FLOAT: 3}[ptype]
+
+
+def _pxr24_decode(data: bytes, channels, width: int, nlines: int) -> bytes:
+    """channels: list of (name, pixel_type_int, numpy dtype)."""
+    tmp = zlib.decompress(data)
+    pos = 0
+    out = bytearray()
+    for ln in range(nlines):
+        for name, ptype, dt in channels:
+            k = _pxr24_planes(ptype)
+            planes = [
+                np.frombuffer(tmp, np.uint8, width, pos + j * width)
+                .astype(np.uint32)
+                for j in range(k)
+            ]
+            pos += k * width
+            diff = planes[0]
+            for p in planes[1:]:
+                diff = (diff << 8) | p
+            pix = np.cumsum(diff.astype(np.uint64)).astype(np.uint32) \
+                & ((1 << (8 * k)) - 1)
+            if ptype == _PXTYPE_FLOAT:
+                out += (pix << 8).astype("<u4").tobytes()
+            elif ptype == _PXTYPE_HALF:
+                out += pix.astype("<u2").tobytes()
+            else:
+                out += pix.astype("<u4").tobytes()
+    return bytes(out)
+
+
+def _pxr24_encode(raw: bytes, channels, width: int, nlines: int) -> bytes:
+    pos = 0
+    tmp = bytearray()
+    for ln in range(nlines):
+        for name, ptype, dt in channels:
+            k = _pxr24_planes(ptype)
+            if ptype == _PXTYPE_FLOAT:
+                pix = np.frombuffer(raw, "<u4", width, pos).astype(
+                    np.uint32) >> 8
+                pos += 4 * width
+            elif ptype == _PXTYPE_HALF:
+                pix = np.frombuffer(raw, "<u2", width, pos).astype(
+                    np.uint32)
+                pos += 2 * width
+            else:
+                pix = np.frombuffer(raw, "<u4", width, pos).astype(
+                    np.uint32)
+                pos += 4 * width
+            diff = pix.copy()
+            diff[1:] -= pix[:-1]
+            diff &= (1 << (8 * k)) - 1
+            for j in range(k):
+                tmp += ((diff >> (8 * (k - 1 - j))) & 0xFF).astype(
+                    np.uint8).tobytes()
+    return zlib.compress(bytes(tmp), 6)
+
+
+# ---------------------------------------------------------------------------
+# B44 / B44A decode (ImfB44Compressor semantics): HALF channels as 4x4
+# pixel blocks of 14 bytes (or 3 bytes for flat B44A blocks); other
+# channel types stored raw.
+# ---------------------------------------------------------------------------
+
+def _b44_unpack14(b: np.ndarray) -> np.ndarray:
+    """(K, 14) uint8 blocks -> (K, 16) uint16 (row-major 4x4)."""
+    b = b.astype(np.uint32)
+    s = np.zeros((b.shape[0], 16), np.int64)
+    shift = (b[:, 2] >> 2).astype(np.int64)
+    bias = np.int64(0x20) << shift
+    s[:, 0] = (b[:, 0] << 8) | b[:, 1]
+    s[:, 4] = s[:, 0] + ((((b[:, 2] << 4) | (b[:, 3] >> 4)) & 0x3F)
+                         << shift) - bias
+    s[:, 8] = s[:, 4] + ((((b[:, 3] << 2) | (b[:, 4] >> 6)) & 0x3F)
+                         << shift) - bias
+    s[:, 12] = s[:, 8] + ((b[:, 4] & 0x3F) << shift) - bias
+    s[:, 1] = s[:, 0] + ((b[:, 5] >> 2) << shift) - bias
+    s[:, 5] = s[:, 4] + ((((b[:, 5] << 4) | (b[:, 6] >> 4)) & 0x3F)
+                         << shift) - bias
+    s[:, 9] = s[:, 8] + ((((b[:, 6] << 2) | (b[:, 7] >> 6)) & 0x3F)
+                         << shift) - bias
+    s[:, 13] = s[:, 12] + ((b[:, 7] & 0x3F) << shift) - bias
+    s[:, 2] = s[:, 1] + ((b[:, 8] >> 2) << shift) - bias
+    s[:, 6] = s[:, 5] + ((((b[:, 8] << 4) | (b[:, 9] >> 4)) & 0x3F)
+                         << shift) - bias
+    s[:, 10] = s[:, 9] + ((((b[:, 9] << 2) | (b[:, 10] >> 6)) & 0x3F)
+                          << shift) - bias
+    s[:, 14] = s[:, 13] + ((b[:, 10] & 0x3F) << shift) - bias
+    s[:, 3] = s[:, 2] + ((b[:, 11] >> 2) << shift) - bias
+    s[:, 7] = s[:, 6] + ((((b[:, 11] << 4) | (b[:, 12] >> 4)) & 0x3F)
+                         << shift) - bias
+    s[:, 11] = s[:, 10] + ((((b[:, 12] << 2) | (b[:, 13] >> 6)) & 0x3F)
+                           << shift) - bias
+    s[:, 15] = s[:, 14] + ((b[:, 13] & 0x3F) << shift) - bias
+    s &= 0xFFFF
+    # undo the half transform: sign-flagged values come back directly,
+    # others were stored complemented
+    s16 = s.astype(np.uint16)
+    return np.where(s16 & 0x8000, s16 & 0x7FFF,
+                    (~s16) & np.uint16(0xFFFF)).astype(np.uint16)
+
+
+def _b44_decode(data: bytes, channels, width: int, nlines: int) -> bytes:
+    """channels: list of (name, pixel_type_int, numpy dtype)."""
+    planes = []
+    pos = 0
+    for name, ptype, dt in channels:
+        if ptype != _PXTYPE_HALF:
+            n = width * nlines * dt.itemsize
+            planes.append(np.frombuffer(data, np.uint8, n, pos)
+                          .reshape(nlines, width * dt.itemsize))
+            pos += n
+            continue
+        nbx = (width + 3) // 4
+        nby = (nlines + 3) // 4
+        blocks = np.zeros((nby * nbx, 16), np.uint16)
+        raw_blocks = []
+        flat = []
+        order = []
+        for bi in range(nby * nbx):
+            marker = data[pos + 2] if pos + 2 < len(data) else 0
+            if marker >= (13 << 2):   # 3-byte flat block (B44A)
+                v = (data[pos] << 8) | data[pos + 1]
+                flat.append((bi, v))
+                pos += 3
+            else:
+                raw_blocks.append(data[pos:pos + 14])
+                order.append(bi)
+                pos += 14
+        if raw_blocks:
+            arr = np.frombuffer(b"".join(raw_blocks), np.uint8)
+            arr = arr.reshape(len(raw_blocks), 14)
+            blocks[np.asarray(order)] = _b44_unpack14(arr)
+        for bi, v in flat:
+            s = np.uint16(v)
+            s = (s & 0x7FFF) if (s & 0x8000) else ((~s) & 0xFFFF)
+            blocks[bi, :] = s
+        # scatter 4x4 blocks into the (padded) channel image
+        img = np.zeros((nby * 4, nbx * 4), np.uint16)
+        b4 = blocks.reshape(nby, nbx, 4, 4)
+        img = b4.transpose(0, 2, 1, 3).reshape(nby * 4, nbx * 4)
+        planes.append(
+            img[:nlines, :width].astype("<u2").view(np.uint8)
+            .reshape(nlines, width * 2))
+    out = bytearray()
+    for ln in range(nlines):
+        for plane in planes:
+            out += plane[ln].tobytes()
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +335,7 @@ def read_exr(filename: str) -> np.ndarray:
 
     if compression not in _LINES_PER_BLOCK:
         raise NoriError(
-            f"'{filename}': unsupported compression {compression} "
-            "(only NONE/ZIPS/ZIP)"
+            f"'{filename}': unsupported compression {compression}"
         )
     lines_per_block = _LINES_PER_BLOCK[compression]
     num_blocks = (height + lines_per_block - 1) // lines_per_block
@@ -142,24 +361,31 @@ def read_exr(filename: str) -> np.ndarray:
     offsets = struct.unpack_from(f"<{num_blocks}q", buf, pos)
     img = np.zeros((height, width, 3), dtype=np.float32)
 
+    chan3 = [(n, pt, dt)
+             for (n, pt), dt in zip(channels, chan_dtypes)]
     for off in offsets:
         y, size = struct.unpack_from("<ii", buf, off)
         data = buf[off + 8:off + 8 + size]
         block_y0 = y - ymin
         nlines = min(lines_per_block, height - block_y0)
         raw_size = bytes_per_px * width * nlines
-        if compression == _COMP_PIZ and size < raw_size:
-            if any(dt.itemsize != 2 for dt in chan_dtypes):
-                raise NoriError(
-                    f"'{filename}': PIZ with non-HALF channels unsupported")
+        if size >= raw_size:
+            raw = data  # stored uncompressed (codec didn't shrink it)
+        elif compression == _COMP_PIZ:
             from nori_tpu.exr_piz import piz_uncompress
 
             raw = piz_uncompress(
                 data, [(n, dt) for (n, _), dt in zip(channels, chan_dtypes)],
                 width, nlines,
             )
-        elif compression in (_COMP_ZIP, _COMP_ZIPS) and size < raw_size:
+        elif compression in (_COMP_ZIP, _COMP_ZIPS):
             raw = _zip_postdecode(zlib.decompress(data)).tobytes()
+        elif compression == _COMP_RLE:
+            raw = _zip_postdecode(_rle_decode(data)).tobytes()
+        elif compression == _COMP_PXR24:
+            raw = _pxr24_decode(data, chan3, width, nlines)
+        elif compression in (_COMP_B44, _COMP_B44A):
+            raw = _b44_decode(data, chan3, width, nlines)
         else:
             raw = data
         rpos = 0
@@ -184,16 +410,23 @@ def _attr(name: str, atype: str, payload: bytes) -> bytes:
     )
 
 
-def write_exr(filename: str, img: np.ndarray, half: bool = False):
-    """Write (H, W, 3) linear RGB as a ZIP-compressed scanline EXR.
+def write_exr(filename: str, img: np.ndarray, half: bool = True,
+              compression: str = "zip"):
+    """Write (H, W, 3) linear RGB as a scanline EXR.
 
     Writes R/G/B channels (stored alphabetically B, G, R per the spec)
     plus a "comments" attribute like the reference
-    (src/bitmap.cpp:96 "Generated by Nori").
+    (src/bitmap.cpp:96 "Generated by Nori").  Default is half-float
+    ZIP, matching the reference's OpenEXR output
+    (src/bitmap.cpp:81-108); pass half=False for lossless float32.
+    compression: none | rle | zips | zip | pxr24 | piz.
     """
     img = np.asarray(img, dtype=np.float32)
     if img.ndim != 3 or img.shape[2] != 3:
         raise NoriError(f"write_exr: expected (H, W, 3), got {img.shape}")
+    if compression not in _COMP_NAMES:
+        raise NoriError(f"write_exr: unknown compression '{compression}'")
+    comp_id = _COMP_NAMES[compression]
     h, w = img.shape[:2]
     dt = np.dtype(np.float16) if half else np.dtype(np.float32)
     ptype = _PXTYPE_HALF if half else _PXTYPE_FLOAT
@@ -206,7 +439,7 @@ def write_exr(filename: str, img: np.ndarray, half: bool = False):
     header = struct.pack("<ii", _MAGIC, 2)
     header += _attr("channels", "chlist", chlist)
     header += _attr("comments", "string", b"Generated by nori_tpu")
-    header += _attr("compression", "compression", bytes([_COMP_ZIP]))
+    header += _attr("compression", "compression", bytes([comp_id]))
     header += _attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1))
     header += _attr("displayWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1))
     header += _attr("lineOrder", "lineOrder", b"\x00")
@@ -215,7 +448,8 @@ def write_exr(filename: str, img: np.ndarray, half: bool = False):
     header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header += b"\x00"
 
-    lines_per_block = _LINES_PER_BLOCK[_COMP_ZIP]
+    chan3 = [(n, ptype, dt) for n in ("B", "G", "R")]
+    lines_per_block = _LINES_PER_BLOCK[comp_id]
     num_blocks = (h + lines_per_block - 1) // lines_per_block
     chunks = []
     for b in range(num_blocks):
@@ -226,7 +460,19 @@ def write_exr(filename: str, img: np.ndarray, half: bool = False):
         raw = np.ascontiguousarray(
             rows.transpose(0, 2, 1).astype(dt)
         ).view(np.uint8).ravel()
-        comp = zlib.compress(_zip_preencode(raw), 6)
+        if comp_id in (_COMP_ZIP, _COMP_ZIPS):
+            comp = zlib.compress(_zip_preencode(raw), 6)
+        elif comp_id == _COMP_RLE:
+            comp = _rle_encode(_zip_preencode(raw))
+        elif comp_id == _COMP_PXR24:
+            comp = _pxr24_encode(raw.tobytes(), chan3, w, nlines)
+        elif comp_id == _COMP_PIZ:
+            from nori_tpu.exr_piz import piz_compress
+
+            comp = piz_compress(
+                raw.tobytes(), [(n, dt) for n, _, dt in chan3], w, nlines)
+        else:
+            comp = raw.tobytes()
         if len(comp) >= raw.nbytes:
             comp = raw.tobytes()
         chunks.append((y0, comp))

@@ -1,17 +1,23 @@
-"""PIZ (wavelet + Huffman) decompression for OpenEXR scanline chunks.
+"""PIZ (wavelet + Huffman) codec for OpenEXR scanline chunks.
 
-Implements the decode side of the PIZ codec from the public OpenEXR
-format specification (ImfPizCompressor/ImfHuf/ImfWav semantics):
+Implements both sides of the PIZ codec from the public OpenEXR format
+specification (ImfPizCompressor/ImfHuf/ImfWav semantics):
 
   chunk := u16 minNonZero, u16 maxNonZero,
            u8 bitmap[maxNonZero - minNonZero + 1],
            i32 compressedLength, huffman-coded data
-  pipeline := huffman decode -> per-channel 2D wavelet decode ->
+  decode pipeline := huffman decode -> per-channel 2D wavelet decode ->
               LUT expansion -> scanline interleave
+  encode pipeline := the exact mirror (forward LUT -> wavelet ->
+              canonical Huffman)
 
-Used by nori_tpu.bitmap.read_exr for compression type 4 (e.g. the
-fork's stored reference image python/living-room_final.exr).  Pure
-numpy/python; speed is adequate for one-off reference reads.
+FLOAT (and UINT) channels contribute `itemsize/2` u16 words per pixel;
+each word plane is wavelet-transformed SEPARATELY with a horizontal
+stride of `size` words, matching ImfPizCompressor's per-j wav2 calls.
+
+Used by nori_tpu.bitmap for compression type 4 (e.g. the fork's stored
+reference image python/living-room_final.exr).  Pure numpy/python;
+speed is adequate for one-off reference reads/writes.
 """
 
 from __future__ import annotations
@@ -298,16 +304,21 @@ def piz_uncompress(chunk: bytes, channels, width: int, nlines: int):
     )
     data = huf_uncompress(chunk[pos:pos + comp_len], n_half)
 
-    # per-channel planar wavelet decode
+    # per-channel planar wavelet decode.  A channel with itemsize > 2
+    # (FLOAT/UINT) holds `sz` u16 words per pixel, interleaved within
+    # the line; each word plane is decoded SEPARATELY with horizontal
+    # stride sz (ImfPizCompressor calls wav2Decode per j in [0, size)).
     out_planes = []
     off = 0
     for name, dt in channels:
         sz = dt.itemsize // 2  # u16 words per sample
         plane = data[off:off + sz * width * nlines].copy()
         off += sz * width * nlines
-        plane = plane.reshape(nlines, width * sz)
-        wav2_decode(plane, width * sz, nlines, max_value)
-        plane = reverse_lut[np.minimum(plane, max_value)]
+        plane3 = plane.reshape(nlines, width, sz)
+        for j in range(sz):
+            wav2_decode(plane3[:, :, j], width, nlines, max_value)
+        plane = reverse_lut[np.minimum(plane3.reshape(nlines, width * sz),
+                                       max_value)]
         out_planes.append(plane)
 
     # interleave to scanline layout
@@ -316,3 +327,257 @@ def piz_uncompress(chunk: bytes, channels, width: int, nlines: int):
         for (name, dt), plane in zip(channels, out_planes):
             raw += plane[ln].astype("<u2").tobytes()
     return bytes(raw)
+
+
+# ---------------------------------------------------------------------------
+# Encode side (mirror of the above; ImfPizCompressor::compress semantics)
+# ---------------------------------------------------------------------------
+
+def _wenc14(a, b):
+    av = a.astype(np.int16).astype(np.int64)
+    bv = b.astype(np.int16).astype(np.int64)
+    m = (av + bv) >> 1
+    d = av - bv
+    return (m & 0xFFFF).astype(np.uint16), (d & 0xFFFF).astype(np.uint16)
+
+
+def _wenc16(a, b):
+    ao = (a.astype(np.int64) + A_OFFSET) & MOD_MASK
+    bv = b.astype(np.int64)
+    m = (ao + bv) >> 1
+    d = ao - bv
+    m = np.where(d < 0, (m + A_OFFSET) & MOD_MASK, m)
+    d &= MOD_MASK
+    return m.astype(np.uint16), d.astype(np.uint16)
+
+
+def wav2_encode(a: np.ndarray, nx: int, ny: int, mx: int):
+    """In-place 2D wavelet encode of an (ny, nx) uint16 array (the
+    exact mirror of wav2_decode: horizontal pairs first, then
+    vertical, fine-to-coarse)."""
+    enc = _wenc14 if mx < (1 << 14) else _wenc16
+    n = min(nx, ny)
+    p = 1
+    p2 = 2
+    while p2 <= n:
+        ey = ((ny - 1) // p2) * p2
+        ex = ((nx - 1) // p2) * p2
+        ys = np.arange(0, ey + 1, p2)
+        xs = np.arange(0, ex + 1, p2)
+        has_y1 = ys + p <= ny - 1
+        has_x1 = xs + p <= nx - 1
+
+        Y0, X0 = np.meshgrid(ys, xs, indexing="ij")
+        by = has_y1[:, None] & np.ones_like(has_x1)[None, :]
+        bx = np.ones_like(has_y1)[:, None] & has_x1[None, :]
+        full = by & bx
+        y0f, x0f = Y0[full], X0[full]
+        if len(y0f):
+            a00 = a[y0f, x0f]
+            a01 = a[y0f, x0f + p]
+            a10 = a[y0f + p, x0f]
+            a11 = a[y0f + p, x0f + p]
+            i00, i01 = enc(a00, a01)
+            i10, i11 = enc(a10, a11)
+            o00, o10 = enc(i00, i10)
+            o01, o11 = enc(i01, i11)
+            a[y0f, x0f] = o00
+            a[y0f, x0f + p] = o01
+            a[y0f + p, x0f] = o10
+            a[y0f + p, x0f + p] = o11
+        rowonly = by & ~bx
+        y0r, x0r = Y0[rowonly], X0[rowonly]
+        if len(y0r):
+            o00, o10 = enc(a[y0r, x0r], a[y0r + p, x0r])
+            a[y0r, x0r] = o00
+            a[y0r + p, x0r] = o10
+        colonly = ~by & bx
+        y0c, x0c = Y0[colonly], X0[colonly]
+        if len(y0c):
+            o00, o01 = enc(a[y0c, x0c], a[y0c, x0c + p])
+            a[y0c, x0c] = o00
+            a[y0c, x0c + p] = o01
+        p = p2
+        p2 <<= 1
+    return a
+
+
+class _BitWriter:
+    __slots__ = ("chunks", "c", "lc", "nbits")
+
+    def __init__(self):
+        self.chunks = bytearray()
+        self.c = 0
+        self.lc = 0
+        self.nbits = 0
+
+    def put_bits(self, n: int, val: int):
+        self.c = (self.c << n) | (val & ((1 << n) - 1))
+        self.lc += n
+        self.nbits += n
+        while self.lc >= 8:
+            self.lc -= 8
+            self.chunks.append((self.c >> self.lc) & 0xFF)
+            self.c &= (1 << self.lc) - 1
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.chunks)
+        if self.lc:
+            out.append((self.c << (8 - self.lc)) & 0xFF)
+        return bytes(out)
+
+
+def _huf_code_lengths(freq: np.ndarray) -> np.ndarray:
+    """Standard Huffman code lengths (the decoder accepts any canonical
+    table with lengths <= 58; OpenEXR's own builder differs only in
+    tie-breaking)."""
+    import heapq
+
+    syms = np.nonzero(freq)[0]
+    lengths = np.zeros(freq.shape[0], np.int64)
+    if len(syms) == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    # internal tree with parent links; depth of each leaf = code length
+    parent = {}
+    heap = [(int(freq[s]), int(s)) for s in syms]
+    heapq.heapify(heap)
+    next_id = USHORT_RANGE + 1
+    while len(heap) > 1:
+        fa, a = heapq.heappop(heap)
+        fb, b = heapq.heappop(heap)
+        parent[a] = next_id
+        parent[b] = next_id
+        heapq.heappush(heap, (fa + fb, next_id))
+        next_id += 1
+    depth = {heap[0][1]: 0}
+    for node in range(next_id - 1, USHORT_RANGE, -1):
+        if node in parent:
+            depth[node] = depth[parent[node]] + 1
+    for s in syms:
+        lengths[s] = depth[parent[int(s)]] + 1 if int(s) in parent else 0
+    if lengths.max() > 58:
+        raise ValueError("huffman code length > 58")
+    return lengths
+
+
+def _pack_enc_table(writer: _BitWriter, lengths: np.ndarray,
+                    im: int, iM: int):
+    """Mirror of _unpack_enc_table (6-bit lengths, zero-run escapes)."""
+    i = im
+    while i <= iM:
+        l = int(lengths[i])
+        if l == 0:
+            run = 1
+            while i + run <= iM and lengths[i + run] == 0 \
+                    and run < 255 + SHORTEST_LONG_RUN:
+                run += 1
+            if run >= SHORTEST_LONG_RUN:
+                writer.put_bits(6, LONG_ZEROCODE_RUN)
+                writer.put_bits(8, run - SHORTEST_LONG_RUN)
+                i += run
+                continue
+            if run >= 2:
+                writer.put_bits(6, SHORT_ZEROCODE_RUN + run - 2)
+                i += run
+                continue
+        writer.put_bits(6, l)
+        i += 1
+
+
+def huf_compress(data: np.ndarray) -> bytes:
+    """Huffman-compress uint16 symbols (ImfHuf hufCompress layout)."""
+    data = np.asarray(data, np.uint16)
+    if data.size == 0:
+        return b""
+    freq = np.bincount(data, minlength=HUF_ENCSIZE).astype(np.int64)
+    data_max = int(np.nonzero(freq)[0].max())
+    rlc = data_max + 1          # run-length escape symbol == iM
+    freq[rlc] = 1
+    im = int(np.nonzero(freq)[0].min())
+    iM = rlc
+    lengths = _huf_code_lengths(freq)
+    codes = _canonical_codes(lengths)
+
+    tw = _BitWriter()
+    _pack_enc_table(tw, lengths, im, iM)
+    table_bytes = tw.bytes()
+
+    # split data into runs of equal symbols
+    bw = _BitWriter()
+    change = np.nonzero(np.diff(data))[0] + 1
+    starts = np.concatenate([[0], change])
+    run_lens = np.diff(np.concatenate([starts, [data.size]]))
+    sym_l = lengths[data[starts]]
+    rlc_l = int(lengths[rlc])
+    rlc_c = int(codes[rlc])
+    for s, r, sl in zip(data[starts].tolist(), run_lens.tolist(),
+                        sym_l.tolist()):
+        c = int(codes[s])
+        # first occurrence always literal; remainder as 8-bit runs when
+        # cheaper (sendCode semantics)
+        bw.put_bits(sl, c)
+        rest = r - 1
+        if rest and (rlc_l + 8 < sl * rest):
+            while rest > 0:
+                n = min(rest, 255)
+                bw.put_bits(rlc_l, rlc_c)
+                bw.put_bits(8, n)
+                rest -= n
+        else:
+            for _ in range(rest):
+                bw.put_bits(sl, c)
+    bits = bw.bytes()
+    header = struct.pack("<5I", im, iM, len(table_bytes), bw.nbits, 0)
+    return header + table_bytes + bits
+
+
+def piz_compress(raw: bytes, channels, width: int, nlines: int) -> bytes:
+    """Encode one PIZ scanline block from scanline-interleaved raw
+    bytes (per line, per channel).  Mirror of piz_uncompress."""
+    # deinterleave into per-channel (nlines, width*sz) u16 planes
+    planes = []
+    rpos = 0
+    for name, dt in channels:
+        planes.append(np.zeros((nlines, width * (dt.itemsize // 2)),
+                               np.uint16))
+    for ln in range(nlines):
+        for ci, (name, dt) in enumerate(channels):
+            n = width * dt.itemsize
+            planes[ci][ln] = np.frombuffer(
+                raw, dtype="<u2", count=width * (dt.itemsize // 2),
+                offset=rpos)
+            rpos += n
+
+    # bitmap of present values (zero is implicit), forward LUT
+    allv = np.concatenate([p.ravel() for p in planes])
+    present = np.zeros(USHORT_RANGE, bool)
+    present[allv] = True
+    present[0] = False
+    bitmap = np.packbits(present.view(np.uint8), bitorder="little")
+    nz = np.nonzero(bitmap)[0]
+    if len(nz):
+        min_nz, max_nz = int(nz[0]), int(nz[-1])
+    else:
+        min_nz, max_nz = BITMAP_SIZE - 1, 0   # min > max: empty
+    lut = np.zeros(USHORT_RANGE, np.uint16)
+    vals = np.concatenate([[0], np.nonzero(present)[0]]) \
+        if not present[0] else np.nonzero(present)[0]
+    lut[vals] = np.arange(len(vals), dtype=np.uint16)
+    max_value = len(vals) - 1
+
+    pieces = []
+    for (name, dt), plane in zip(channels, planes):
+        sz = dt.itemsize // 2
+        p = lut[plane].reshape(nlines, width, sz)
+        for j in range(sz):
+            wav2_encode(p[:, :, j], width, nlines, max_value)
+        pieces.append(p.reshape(-1))
+    data = np.concatenate(pieces)
+    huf = huf_compress(data)
+
+    out = struct.pack("<2H", min_nz, max_nz)
+    if min_nz <= max_nz:
+        out += bitmap[min_nz:max_nz + 1].tobytes()
+    out += struct.pack("<i", len(huf)) + huf
+    return out

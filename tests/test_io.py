@@ -17,15 +17,118 @@ from nori_tpu.rfilter import GaussianFilter, BoxFilter
 def test_exr_roundtrip(tmp_path):
     img = np.random.RandomState(0).rand(33, 57, 3).astype(np.float32) * 8
     p = str(tmp_path / "t.exr")
-    write_exr(p, img)
+    write_exr(p, img, half=False)
     assert np.abs(read_exr(p) - img).max() == 0.0
 
 
-def test_exr_half(tmp_path):
+def test_exr_half_default(tmp_path):
+    # default write is half-float ZIP like the reference's OpenEXR
+    # output (src/bitmap.cpp:81-108): exact in f16
     img = np.random.RandomState(1).rand(16, 16, 3).astype(np.float32)
     p = str(tmp_path / "h.exr")
-    write_exr(p, img, half=True)
-    assert np.abs(read_exr(p) - img).max() < 1e-3
+    write_exr(p, img)
+    back = read_exr(p)
+    assert np.array_equal(back, img.astype(np.float16).astype(np.float32))
+
+
+@pytest.mark.parametrize("comp", ["none", "rle", "zips", "zip", "pxr24",
+                                  "piz"])
+@pytest.mark.parametrize("half", [True, False])
+def test_exr_compression_roundtrip(tmp_path, comp, half):
+    rng = np.random.RandomState(3)
+    img = (rng.rand(37, 53, 3) ** 2 * 10).astype(np.float32)
+    p = str(tmp_path / f"c_{comp}_{half}.exr")
+    write_exr(p, img, half=half, compression=comp)
+    back = read_exr(p)
+    want = img.astype(np.float16).astype(np.float32) if half else img
+    if comp == "pxr24" and not half:
+        # PXR24 truncates float32 to 24 bits (lossy by design)
+        assert np.abs(back - want).max() < 1e-4 * img.max()
+    else:
+        assert np.array_equal(back, want), comp
+
+
+def test_exr_b44a_flat_blocks(tmp_path):
+    # hand-built B44A file: every 4x4 block is a flat 3-byte block
+    # (ImfB44Compressor pack3/unpack3 semantics)
+    import struct
+
+    h, w = 10, 13   # exercises edge cropping of padded blocks
+    rng = np.random.RandomState(4)
+    nby, nbx = (h + 3) // 4, (w + 3) // 4
+    block_vals = (rng.rand(nby, nbx).astype(np.float32) * 4)
+    img = np.zeros((h, w, 3), np.float32)
+    for by in range(nby):
+        for bx in range(nbx):
+            img[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4, :] = \
+                block_vals[by, bx]
+
+    def fwd(hbits):
+        if (hbits & 0x7C00) == 0x7C00:
+            return 0x8000
+        return (~hbits) & 0xFFFF if (hbits & 0x8000) else (hbits | 0x8000)
+
+    chlist = b""
+    for cname in (b"B", b"G", b"R"):
+        chlist += cname + b"\x00" + struct.pack("<iB3xii", 1, 0, 1, 1)
+    chlist += b"\x00"
+
+    def attr(name, atype, payload):
+        return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+                + struct.pack("<i", len(payload)) + payload)
+
+    header = struct.pack("<ii", 20000630, 2)
+    header += attr("channels", "chlist", chlist)
+    header += attr("compression", "compression", bytes([7]))  # B44A
+    header += attr("dataWindow", "box2i",
+                   struct.pack("<4i", 0, 0, w - 1, h - 1))
+    header += attr("displayWindow", "box2i",
+                   struct.pack("<4i", 0, 0, w - 1, h - 1))
+    header += attr("lineOrder", "lineOrder", b"\x00")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f",
+                   struct.pack("<2f", 0.0, 0.0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    chunk = bytearray()
+    for _ in range(3):   # channels B, G, R (same values per block)
+        for by in range(nby):
+            for bx in range(nbx):
+                hb = int(np.float16(block_vals[by, bx]).view(np.uint16))
+                s = fwd(hb)
+                chunk += bytes([(s >> 8) & 0xFF, s & 0xFF, 0xFC])
+    data = bytes(chunk)
+    table_pos = len(header)
+    off = table_pos + 8
+    p = tmp_path / "b44a.exr"
+    with open(p, "wb") as f:
+        f.write(header)
+        f.write(struct.pack("<q", off))
+        f.write(struct.pack("<ii", 0, len(data)))
+        f.write(data)
+    back = read_exr(str(p))
+    want = img.astype(np.float16).astype(np.float32)
+    assert np.array_equal(back, want)
+
+
+def test_exr_b44_unpack14_uniform_deltas():
+    # a 14-byte block whose 6-bit fields all equal the bias (0x20 at
+    # shift 0) decodes to sixteen copies of s0
+    from nori_tpu.bitmap import _b44_unpack14
+
+    hval = int(np.float16(1.5).view(np.uint16))
+    s0 = hval | 0x8000   # forward half transform for positive finite
+    bits = 0
+    nbits = 0
+    for n, v in [(16, s0), (6, 0)] + [(6, 0x20)] * 15:
+        bits = (bits << n) | v
+        nbits += n
+    assert nbits == 112
+    b = np.array([[(bits >> (104 - 8 * i)) & 0xFF for i in range(14)]],
+                 np.uint8)
+    out = _b44_unpack14(b)
+    assert np.all(out == hval)
 
 
 def test_png(tmp_path):
@@ -134,6 +237,23 @@ def test_piz_reader_on_reference_exr():
     assert 0.01 < img.mean() < 10.0
     # natural image: neighboring pixels strongly correlated
     assert np.abs(np.diff(img, axis=1)).mean() < 0.2 * img.mean() + 0.05
+
+
+def test_piz_reencode_reference_exr(tmp_path):
+    """Re-encode the reference living-room EXR with our PIZ encoder and
+    read it back bit-exactly (the file is half, so half re-encode is
+    lossless)."""
+    import os
+    path = "/root/reference/python/living-room_final.exr"
+    if not os.path.exists(path):
+        pytest.skip("reference EXR not available")
+    img = read_exr(path)
+    out = str(tmp_path / "lr_piz.exr")
+    write_exr(out, img, half=True, compression="piz")
+    back = read_exr(out)
+    assert np.array_equal(back, img)
+    # our canonical-Huffman PIZ should land near OpenEXR's own size
+    assert os.path.getsize(out) < 1.2 * os.path.getsize(path)
 
 
 def test_warptest_cli_square():

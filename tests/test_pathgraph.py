@@ -153,8 +153,8 @@ def test_analysis_jacobi_and_merge(tmp_path):
     from nori_tpu.bitmap import write_exr
     a = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
     bimg = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
-    write_exr(str(tmp_path / "a.exr"), a)
-    write_exr(str(tmp_path / "b.exr"), bimg)
+    write_exr(str(tmp_path / "a.exr"), a, half=False)
+    write_exr(str(tmp_path / "b.exr"), bimg, half=False)
     m = merge_exrs([str(tmp_path / "a.exr"), str(tmp_path / "b.exr")])
     assert np.allclose(m, (a + bimg) / 2, atol=1e-6)
     assert rmse(a, a) == 0.0
