@@ -88,6 +88,202 @@ def make_sharded_sample_pass(scene, spec: FilmSpec, batch: int, mesh: Mesh,
     return sample_pass
 
 
+# ---------------------------------------------------------------------------
+# Sharded PERSISTENT WAVEFRONT — the production renderer on a mesh
+# ---------------------------------------------------------------------------
+#
+# Work-item space q = pixel * spp + sample is statically partitioned
+# into per-device contiguous sub-chunks; every device runs its own
+# persistent lane pool (wavefront.make_wavefront_stepper) on its shard,
+# entirely device-local — the only collectives are the occupancy psum
+# and the final film gather.  The counter-based RNG keys on global q,
+# so sample values are bit-identical for ANY device count; the film is
+# folded left-associatively in q order, so the full image is
+# bit-identical to a single-device render with chunk == chunk_dev.
+
+
+def _lift(tree):
+    """Give 0-d leaves a (1,) device axis so shard_map can split them."""
+    return jax.tree.map(lambda x: x[None] if x.ndim == 0 else x, tree)
+
+
+def _unlift(tree, ref):
+    """Drop the (1,) axis from leaves that are 0-d in the reference."""
+    return jax.tree.map(
+        lambda x, r: x[0] if r.ndim == 0 else x, tree, ref)
+
+
+def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
+                           n_lanes_dev: int, chunk_dev: int,
+                           max_depth: int | None = None,
+                           sort_rays: bool | None = None,
+                           check_every: int = 16,
+                           axis: str = "batch"):
+    """Build (init, steps, n_active, films) jitted sharded functions.
+
+    The carry is the single-device wavefront carry with every array
+    sharded on its leading axis over `mesh` (scalars lifted to
+    (n_devices,)).  `steps` advances all shards `check_every` wavefront
+    steps per call; `films` finalizes each shard's record log and
+    splats it into a per-device partial film (returned stacked, to be
+    folded in device order).
+    """
+    from nori_tpu.wavefront import (
+        make_wavefront_stepper, make_dense_splat, MAX_DEPTH)
+
+    if max_depth is None:
+        max_depth = MAX_DEPTH
+    spp = scene.sampler.sample_count
+    assert chunk_dev % spp == 0, "chunk_dev must be pixel-aligned"
+    init, step, n_act, finalize = make_wavefront_stepper(
+        scene, mode, n_lanes_dev, chunk_dev, max_depth, sort_rays)
+    new_film, splat_chunk, film_final = make_dense_splat(scene, chunk_dev)
+    n_dev = mesh.devices.size
+
+    # a structure reference for lift/unlift (host-side, tiny)
+    carry_ref = jax.eval_shape(
+        init, jnp.uint32(0), jnp.uint32(0), jnp.uint32(chunk_dev))
+    carry_specs = jax.tree.map(
+        lambda r: P(axis), _lift_shapes(carry_ref))
+
+    def init_body(seed, q0s, q_endg):
+        # per-device start q arrives as a sharded (1,) input (NOT via
+        # axis_index: a 1-device mesh would constant-fold it and
+        # compile a differently-fused per-shard program, breaking
+        # bit-identity across device counts)
+        return _lift(init(seed, q0s[0], q_endg))
+
+    def steps_body(sd, carry_l, seed):
+        carry = _unlift(carry_l, carry_ref)
+        for _ in range(check_every):
+            carry = step(sd, carry, seed)
+        return _lift(carry)
+
+    def n_active_body(carry_l):
+        carry = _unlift(carry_l, carry_ref)
+        return n_act(carry)[None]
+
+    def films_body(carry_l, seed):
+        carry = _unlift(carry_l, carry_ref)
+        st, _nq, records, _wc, rays, q_hi = carry
+        q0_d = st["q0"]
+        L_out = finalize(records, q0_d)
+        part = splat_chunk(new_film(), L_out, seed, q0_d,
+                           jnp.minimum(q_hi, q0_d + jnp.uint32(chunk_dev)))
+        return part[None], rays[None]
+
+    rep = dict(check_rep=False)
+    _init_inner = jax.jit(shard_map(
+        init_body, mesh=mesh, in_specs=(P(), P(axis), P()),
+        out_specs=carry_specs, **rep))
+
+    def sharded_init(seed, q0, q_end):
+        q0s = q0 + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(
+            chunk_dev)
+        return _init_inner(seed, q0s, q_end)
+    sharded_steps = jax.jit(shard_map(
+        steps_body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), scene.compile()),
+                  carry_specs, P()),
+        out_specs=carry_specs, **rep), donate_argnums=(1,))
+    sharded_n_active = jax.jit(shard_map(
+        n_active_body, mesh=mesh, in_specs=(carry_specs,),
+        out_specs=P(axis), **rep))
+    sharded_films = jax.jit(shard_map(
+        films_body, mesh=mesh, in_specs=(carry_specs, P()),
+        out_specs=(P(axis), P(axis)), **rep))
+    return sharded_init, sharded_steps, sharded_n_active, sharded_films
+
+
+def _lift_shapes(tree):
+    return jax.tree.map(
+        lambda r: jax.ShapeDtypeStruct((1,) + r.shape, r.dtype)
+        if r.ndim == 0 else r, tree)
+
+
+def render_sharded_wavefront(scene, mesh: Mesh | None = None,
+                             spp: int | None = None, seed: int = 0,
+                             n_lanes_dev: int = 131072,
+                             chunk_dev: int | None = None,
+                             max_iters: int = 100000,
+                             verbose: bool = False):
+    """Full multi-device persistent-wavefront render.
+
+    Returns ((H, W, 3) numpy image, stats).  Bit-identical to
+    render_wavefront(scene, chunk=chunk_dev, ...) on one device.
+    """
+    import time
+
+    if mesh is None:
+        mesh = make_mesh()
+    sd = scene.compile()
+    cam = scene.camera
+    w, h = cam.output_size
+    if spp is not None:
+        scene.sampler.sample_count = spp
+    spp = scene.sampler.sample_count
+    scene.integrator.preprocess(scene)
+    from nori_tpu.integrators.path import MIS
+    from nori_tpu.wavefront import MAX_DEPTH, make_dense_splat
+
+    mode = getattr(scene.integrator, "mode", MIS)
+    max_depth = getattr(scene.integrator, "max_depth", MAX_DEPTH)
+    n_dev = mesh.devices.size
+    total_q = w * h * spp
+    n_lanes_dev = min(n_lanes_dev, max(4096, total_q // n_dev + 1))
+    if chunk_dev is None:
+        chunk_dev = min(-(-total_q // n_dev), 64 * n_lanes_dev)
+    chunk_dev = max(spp, (chunk_dev // spp) * spp)
+
+    key = (mode, n_lanes_dev, chunk_dev, spp, max_depth, w, h,
+           tuple(d.id for d in mesh.devices.flat))
+    cache = getattr(scene, "_swf_cache", None)
+    if cache is None or cache[0] != key:
+        fns = make_sharded_wavefront(
+            scene, mode, mesh, n_lanes_dev, chunk_dev, max_depth)
+        dense = make_dense_splat(scene, chunk_dev)
+        scene._swf_cache = (key, fns, dense)
+    _, fns, dense = scene._swf_cache
+    sharded_init, sharded_steps, sharded_n_active, sharded_films = fns
+    new_film, _splat, film_final = dense
+
+    film = new_film()
+    seed_arr = jnp.uint32(seed)
+    q_end = jnp.uint32(total_q)
+    t0 = time.time()
+    rays_total = 0
+    global_chunk = n_dev * chunk_dev
+    for q0 in range(0, total_q, global_chunk):
+        carry = sharded_init(seed_arr, jnp.uint32(q0), q_end)
+        it = 0
+        pending = None
+        while it < max_iters:
+            carry = sharded_steps(sd, carry, seed_arr)
+            it += 1
+            handle = sharded_n_active(carry)  # async device fetch
+            if pending is not None and int(np.sum(np.asarray(pending))) == 0:
+                break
+            pending = handle
+        else:
+            raise RuntimeError("sharded wavefront did not drain")
+        parts, rays = sharded_films(carry, seed_arr)
+        rays_total += int(np.sum(np.asarray(rays)))
+        # left-associative fold in q order == single-device chunk order
+        for i in range(n_dev):
+            film = film + parts[i]
+        if verbose:
+            film.block_until_ready()
+            print(f"  global chunk {q0 // global_chunk + 1} "
+                  f"({time.time() - t0:.2f}s)")
+    img = np.asarray(jax.device_get(film_final(film)))
+    dt = time.time() - t0
+    return img, {
+        "spp": spp, "seconds": dt, "rays": rays_total,
+        "mrays_per_sec": rays_total / max(dt, 1e-9) / 1e6,
+        "devices": n_dev,
+    }
+
+
 def render_sharded(scene, mesh: Mesh | None = None, spp: int | None = None,
                    seed: int = 0, batch: int | None = None):
     """Full sharded render; returns ((H, W, 3) numpy image, stats)."""
