@@ -1,12 +1,20 @@
 """`pg` driver: load/build/iterate/write (src/cluster.cpp:156-254).
 
 CLI:  python -m nori_tpu.pathgraph.pg <base> -k K -i ITERS -m MODE
-  MODE: opt  — clusters + direct-light re-aggregation + matrix
-              iterations (ClusterScatterWithDirectOptNR)
+  MODE (src/cluster.cpp:201-226):
+        opt  — clusters + direct-light re-aggregation + matrix
+               iterations, final-only recording
+               (ClusterScatterWithDirectOptNR / ClusterIterations3)
+        n    — clusters + PRECOMPUTED matrix elements, stored per-point
+               direct in the update, per-iteration recording
+               (ClusterScatter2 / ClusterIterations)
+        t    — clusters + per-iteration BSDF re-evaluation, stored
+               per-point direct, per-iteration recording
+               (ClusterScatter / computeClusterScatterAllOnGPURecord)
+        l    — load neighbors/clusters from <base>neighbors.bin, then
+               the "t" iteration (loadClusterScatter)
         knn  — k-NN MIS aggregation with per-iteration recording
               (computeMISRadianceAOGWithProcessRecording)
-        l    — load neighbors/clusters from <base>neighbors.bin
-        t/n  — cluster scatter variants (mapped to opt here)
 
 `<base>` is either a reference-style dump prefix or a scene XML (which
 is then traced by the nori_tpu wavefront tracer to produce the dump —
@@ -130,8 +138,12 @@ def run(base: str, k: int = 16, iterations: int = 1, mode: str = "opt",
         gp.groupIdx = __import__("jax.numpy", fromlist=["asarray"]).asarray(
             cluster_id.astype(np.int32))
         members, sizes = pad_clusters(order, offsets, pad=2 * k)
+        # "l" runs the loaded clusters through the recording scatter
+        # driver, exactly like the reference's loadClusterScatter
+        cluster_mode = "t" if mode == "l" else mode
         blur, mc, direct = aggregate.iterate_cluster(
-            gp, g.lps, members, sizes, cluster_id, iterations)
+            gp, g.lps, members, sizes, cluster_id, iterations,
+            mode=cluster_mode)
 
     write_outputs(base, g, k, blur, mc, direct)
     if verbose:

@@ -122,12 +122,17 @@ def test_estimator_consistency(small_graph):
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.25
 
 
-def test_pg_end_to_end(small_graph, tmp_path):
+@pytest.mark.parametrize("mode", ["opt", "n", "t", "knn", "l"])
+def test_pg_end_to_end(small_graph, tmp_path, mode):
     g, _ = small_graph
     base = str(tmp_path / "pg")
     save_path_graph(base, g)
     from nori_tpu.pathgraph import pg as pgmod
-    pgmod.run(base, k=8, iterations=1, mode="opt", verbose=False)
+    if mode == "l":
+        # "l" loads a cluster assignment saved by an earlier run
+        pgmod.run(base, k=8, iterations=1, mode="opt", verbose=False,
+                  save_dump=True)
+    pgmod.run(base, k=8, iterations=1, mode=mode, verbose=False)
     for suffix in ["_k-8_direct.exr", "_k-8_direct_o.exr", "_Le_init.exr",
                    "_k-8_full.exr", "_k-8_indirect.exr",
                    "_k-8_indirect_pt.exr", "_k-8_indirect_blur.exr"]:
@@ -135,6 +140,88 @@ def test_pg_end_to_end(small_graph, tmp_path):
     from nori_tpu.bitmap import read_exr
     full = read_exr(base + "_k-8_full.exr")
     assert np.isfinite(full).all() and full.mean() > 0
+
+
+def test_cluster_modes_n_and_t_agree(small_graph):
+    """"n" (precomputed matrix elements) and "t" (per-iteration BSDF
+    re-evaluation) are different code paths for the SAME math
+    (ClusterIterations vs computeClusterScatterAllOnGPURecord)."""
+    import jax.numpy as jnp
+    from nori_tpu.pathgraph import aggregate
+    from nori_tpu.pathgraph.cluster import build_clusters, pad_clusters
+
+    g, _ = small_graph
+    gp = GraphPoints(g.sps)
+    pos = np.asarray(g.sps["pos"])
+    dims = g.grid_dimensions()
+    cid, order, offsets = build_clusters(
+        pos, dims, g.aabb_min, g.aabb_max, 8)
+    gp.groupIdx = jnp.asarray(cid.astype(np.int32))
+    members, sizes = pad_clusters(order, offsets, pad=16)
+    out = {}
+    for mode in ("n", "t"):
+        blur, mc, direct = aggregate.iterate_cluster(
+            gp, g.lps, members, sizes, cid, iterations=2, mode=mode)
+        assert len(blur) == 2 and len(mc) == 2  # recorded every iter
+        out[mode] = (blur, mc)
+    for a, b in zip(out["n"][0] + out["n"][1],
+                    out["t"][0] + out["t"][1]):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_cluster_mode_opt_records_final_only(small_graph):
+    import jax.numpy as jnp
+    from nori_tpu.pathgraph import aggregate
+    from nori_tpu.pathgraph.cluster import build_clusters, pad_clusters
+
+    g, _ = small_graph
+    gp = GraphPoints(g.sps)
+    pos = np.asarray(g.sps["pos"])
+    cid, order, offsets = build_clusters(
+        pos, g.grid_dimensions(), g.aabb_min, g.aabb_max, 8)
+    gp.groupIdx = jnp.asarray(cid.astype(np.int32))
+    members, sizes = pad_clusters(order, offsets, pad=16)
+    blur, mc, _ = aggregate.iterate_cluster(
+        gp, g.lps, members, sizes, cid, iterations=3, mode="opt")
+    assert len(blur) == 1 and len(mc) == 1  # the NR driver
+
+
+def test_knn_scatter_and_jitter_variants(small_graph):
+    """Scatter-form drivers (allGPUScatterRadiance family): plain,
+    jittered same-cluster pdf (pbsdf.cu:1629,1758) and distance-
+    weighted (pbsdf.cu:1458) deposits."""
+    import jax.numpy as jnp
+    from nori_tpu.pathgraph import aggregate
+    from nori_tpu.pathgraph.grid import UniformGrid, knn
+    from nori_tpu.pathgraph.cluster import build_clusters
+
+    g, _ = small_graph
+    gp = GraphPoints(g.sps)
+    pos = np.asarray(g.sps["pos"])
+    dims = g.grid_dimensions()
+    grid = UniformGrid(pos, dims, g.aabb_min, g.aabb_max)
+    neighbors, counts = knn(pos, grid, 8)
+    cid, _, _ = build_clusters(pos, dims, g.aabb_min, g.aabb_max, 8)
+    gp.groupIdx = jnp.asarray(cid.astype(np.int32))
+
+    marg = aggregate.pdf_marginal_knn(gp, neighbors)
+    marg_j = aggregate.pdf_marginal_knn(gp, neighbors, jitter=True)
+    # the jittered sum ranges over a SUBSET of neighbors
+    assert (marg_j <= marg + 1e-5).all()
+    assert marg.max() > 0
+
+    # scatter pass conserves magnitude order and stays finite
+    rad, mc = aggregate.iterate_knn_scatter(gp, neighbors, 1)
+    assert np.isfinite(rad).all() and np.isfinite(mc).all()
+    assert rad.mean() > 0
+
+    rad_j, mc_j = aggregate.iterate_knn_scatter(
+        gp, neighbors, 1, jitter_last=True)
+    assert np.isfinite(mc_j).all()
+
+    rad_w, mc_w = aggregate.iterate_knn_scatter(
+        gp, neighbors, 1, weighted=True)
+    assert np.isfinite(rad_w).all() and rad_w.mean() > 0
 
 
 def test_analysis_jacobi_and_merge(tmp_path):
