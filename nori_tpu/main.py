@@ -22,6 +22,9 @@ def main(argv=None):
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--preview", action="store_true",
                     help="write incremental <out>_preview.png snapshots")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="dump/resume render state at <out>.ckpt after "
+                         "every chunk (path-family integrators)")
     args = ap.parse_args(argv)
 
     ext = os.path.splitext(args.input)[1].lower()
@@ -57,6 +60,7 @@ def main(argv=None):
         img, stats = render_to_files(
             root, out, spp=args.spp, seed=args.seed,
             verbose=not args.quiet, preview=args.preview,
+            checkpoint=args.checkpoint,
         )
         print(
             f"Rendered {stats['pixels']} px x {stats['spp']} spp in "

@@ -113,13 +113,15 @@ def render(scene, spp: int | None = None, seed: int = 0,
 
 def render_to_files(scene, out_base: str, spp: int | None = None,
                     seed: int = 0, verbose: bool = False,
-                    preview: bool = False):
+                    preview: bool = False, checkpoint: bool = False):
     """Render and write <base>.exr + tonemapped <base>.png
     (src/main.cpp:140-150).
 
     Path-family integrators use the persistent-wavefront renderer
     (nori_tpu.wavefront) — the production path; other integrators
     (normals/simple/ao/whitted) use the plain batched pass.
+    checkpoint dumps resumable render state at <base>.ckpt after every
+    chunk (removed on completion).
     """
     from nori_tpu.bitmap import write_exr, write_png
 
@@ -129,7 +131,8 @@ def render_to_files(scene, out_base: str, spp: int | None = None,
 
         img, stats = render_wavefront(
             scene, spp=spp, seed=seed, verbose=verbose,
-            preview_path=(out_base + "_preview.png") if preview else None)
+            preview_path=(out_base + "_preview.png") if preview else None,
+            checkpoint_path=(out_base + ".ckpt") if checkpoint else None)
     else:
         img, stats = render(scene, spp=spp, seed=seed, verbose=verbose)
     write_exr(out_base + ".exr", img)

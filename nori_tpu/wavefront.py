@@ -540,14 +540,43 @@ def make_dense_splat(scene, chunk: int):
     return new_film, splat_chunk, finalize
 
 
+def _checkpoint_key(scene, spp, seed, chunk):
+    """Digest identifying a render configuration; a checkpoint only
+    resumes when it matches (scene geometry + camera + sampling)."""
+    import hashlib
+
+    sd = scene.compile()
+    h = hashlib.sha256()
+    h.update(np.asarray(sd.tri_v0).tobytes())
+    h.update(np.asarray(scene.camera.ray_params()["camera_to_world"])
+             .tobytes())
+    w, hh = scene.camera.output_size
+    h.update(np.asarray([w, hh, spp, seed, chunk], np.int64).tobytes())
+    return h.hexdigest()
+
+
 def render_wavefront(scene, spp: int | None = None, seed: int = 0,
                      n_lanes: int = 131072, chunk: int | None = None,
                      verbose: bool = False, sort_rays: bool | None = None,
-                     preview_path: str | None = None):
+                     preview_path: str | None = None,
+                     checkpoint_path: str | None = None,
+                     max_chunks: int | None = None):
     """Render a path-family scene with the persistent wavefront.
 
-    Returns ((H, W, 3) numpy image, stats).
+    checkpoint_path: dump (film accumulator, next chunk cursor, ray
+    count) after every completed chunk; an interrupted render re-run
+    with the same arguments resumes at the last finished chunk and
+    produces the SAME image bit-for-bit (chunks are independent and the
+    counter-based RNG keys on global sample id).  The TPU-side render
+    analogue of the path-graph stage file contract
+    (src/pathgraph.cpp:8-196).  max_chunks bounds how many chunks this
+    CALL renders (time-sliced rendering through a flaky link).
+
+    Returns ((H, W, 3) numpy image, stats); with max_chunks, the image
+    is the partial accumulation so far and stats["done"] says whether
+    the render completed.
     """
+    import os
     import time
 
     sd = scene.compile()
@@ -591,13 +620,45 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     film = new_film()
     seed_arr = jnp.uint32(seed)
 
+    q_start = 0
+    rays_resumed = 0
+    ck_key = None
+    if checkpoint_path:
+        ck_key = _checkpoint_key(scene, spp, seed, chunk)
+        if os.path.exists(checkpoint_path):
+            try:
+                d = np.load(checkpoint_path)
+                if str(d["key"]) == ck_key:
+                    film = jnp.asarray(d["film"])
+                    q_start = int(d["next_q0"])
+                    rays_resumed = int(d["rays"])
+                    if verbose:
+                        print(f"  resuming at chunk "
+                              f"{q_start // chunk + 1}/"
+                              f"{(total_q + chunk - 1) // chunk}")
+                elif verbose:
+                    print("  checkpoint config mismatch; starting fresh")
+            except Exception as e:  # corrupt file: start fresh
+                if verbose:
+                    print(f"  unreadable checkpoint ({e}); starting fresh")
+
     t0 = time.time()
     ray_handles = []
     q_end = jnp.uint32(total_q)
-    for q0 in range(0, total_q, chunk):
+    chunks_done = 0
+    done = q_start >= total_q
+    for q0 in range(q_start, total_q, chunk):
         L_out, rays = run_chunk(steppers, sd, seed_arr, jnp.uint32(q0), q_end)
         film = splat_chunk(film, L_out, seed_arr, jnp.uint32(q0), q_end)
         ray_handles.append(rays)
+        if checkpoint_path:
+            film.block_until_ready()
+            rays_so_far = rays_resumed + int(
+                np.sum([int(r) for r in ray_handles]))
+            tmp = checkpoint_path + ".tmp.npz"
+            np.savez(tmp, key=ck_key, film=np.asarray(film),
+                     next_q0=q0 + chunk, rays=rays_so_far)
+            os.replace(tmp, checkpoint_path)
         if preview_path:
             # incremental preview snapshot — the TPU-host substitute for
             # the nanogui live screen (src/gui.cpp:19-132)
@@ -609,11 +670,19 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
             print(f"  chunk {q0 // chunk + 1}/"
                   f"{(total_q + chunk - 1) // chunk} "
                   f"({time.time() - t0:.2f}s)")
+        chunks_done += 1
+        done = q0 + chunk >= total_q
+        if max_chunks is not None and chunks_done >= max_chunks:
+            break
+    if done and checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)  # complete: nothing to resume
     img = np.asarray(jax.device_get(finalize(film)))
     dt = time.time() - t0
-    total_rays = int(np.sum([int(r) for r in ray_handles]))
+    total_rays = rays_resumed + int(
+        np.sum([int(r) for r in ray_handles]))
     return img, {
         "spp": spp, "seconds": dt, "pixels": w * h, "rays": total_rays,
         "mrays_per_sec": total_rays / max(dt, 1e-9) / 1e6,
         "samples_per_sec": total_q / max(dt, 1e-9),
+        "done": done,
     }

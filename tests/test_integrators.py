@@ -147,3 +147,47 @@ def test_living_room_scene_renders():
     img, st = render_wavefront(scene, n_lanes=4608)
     assert np.isfinite(img).all()
     assert img.mean() > 0.02  # lit interior
+
+
+def test_wavefront_checkpoint_resume(tmp_path):
+    """An interrupted render resumed from its checkpoint produces the
+    SAME image bit-for-bit (chunks are independent; the counter-based
+    RNG keys on global sample id)."""
+    import os
+    from nori_tpu.scenes_builtin import cornell_box
+    from nori_tpu.wavefront import render_wavefront
+
+    kw = dict(spp=4, n_lanes=1024, chunk=2048, seed=3)
+    scene_ref = cornell_box(width=32, height=24, spp=4, sphere_subdiv=1)
+    ref, _ = render_wavefront(scene_ref, **kw)
+
+    ck = str(tmp_path / "r.ckpt")
+    scene_a = cornell_box(width=32, height=24, spp=4, sphere_subdiv=1)
+    part, st = render_wavefront(scene_a, checkpoint_path=ck,
+                                max_chunks=1, **kw)
+    assert not st["done"]
+    assert os.path.exists(ck)
+
+    scene_b = cornell_box(width=32, height=24, spp=4, sphere_subdiv=1)
+    img, st2 = render_wavefront(scene_b, checkpoint_path=ck, **kw)
+    assert st2["done"]
+    assert not os.path.exists(ck)  # removed on completion
+    assert np.array_equal(img, ref)
+
+
+def test_wavefront_checkpoint_config_mismatch(tmp_path):
+    """A checkpoint from a different configuration must not resume."""
+    import os
+    from nori_tpu.scenes_builtin import cornell_box
+    from nori_tpu.wavefront import render_wavefront
+
+    ck = str(tmp_path / "m.ckpt")
+    scene = cornell_box(width=32, height=24, spp=4, sphere_subdiv=1)
+    render_wavefront(scene, spp=4, n_lanes=1024, chunk=2048, seed=3,
+                     checkpoint_path=ck, max_chunks=1)
+    assert os.path.exists(ck)
+    # different seed: full render from scratch, same final stats shape
+    scene2 = cornell_box(width=32, height=24, spp=4, sphere_subdiv=1)
+    img, st = render_wavefront(scene2, spp=4, n_lanes=1024, chunk=2048,
+                               seed=4, checkpoint_path=ck)
+    assert st["done"] and np.isfinite(img).all()
