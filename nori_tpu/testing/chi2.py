@@ -28,8 +28,12 @@ def bsdf_params_for(bsdf, n):
 
 
 def run_chi2_bsdf(bsdf, wi, sample_count, cos_res, phi_res,
-                  min_exp_frequency, significance, num_tests, seed=0):
-    """One chi^2 run for one BSDF and one incident direction."""
+                  min_exp_frequency, significance, num_tests, seed=0,
+                  dump_file=None):
+    """One chi^2 run for one BSDF and one incident direction.
+
+    dump_file: write the observed/expected tables as a MATLAB debug
+    script (chi2test_%i.m, src/chi2test.cpp:179-180)."""
     n = sample_count
     params = bsdf_params_for(bsdf, n)
     wi_b = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (n, 3))
@@ -78,6 +82,10 @@ def run_chi2_bsdf(bsdf, wi, sample_count, cos_res, phi_res,
     phi_edges = np.linspace(0.0, 2 * np.pi, phi_res + 1)
     exp = integrate_cells_2d(pdf_fn, cos_edges, phi_edges) * sample_count
 
+    if dump_file:
+        from nori_tpu.testing.hypothesis import chi2_dump
+
+        chi2_dump(obs, exp, dump_file)
     return chi2_test(
         obs.ravel(), exp.ravel(), sample_count, min_exp_frequency,
         significance, num_tests,
@@ -94,6 +102,10 @@ class ChiSquareTest(NoriObject):
         self.min_exp_frequency = props.get_integer("minExpFrequency", 5)
         self.sample_count = props.get_integer("sampleCount", -1)
         self.test_count = props.get_integer("testCount", 5)
+        # the reference writes chi2test_%i.m on every run
+        # (src/chi2test.cpp:179-180); dump_dir redirects the artifacts
+        self.dump_files = props.get_boolean("dumpFiles", True)
+        self.dump_dir = "."
         self.phi_res = 2 * self.cos_res
         if self.sample_count < 0:
             self.sample_count = self.cos_res * self.phi_res * 5000
@@ -120,10 +132,15 @@ class ChiSquareTest(NoriObject):
                 wi = np.array([
                     np.cos(phi) * sin_theta, np.sin(phi) * sin_theta, cos_theta,
                 ])
+                import os
+
+                dump = os.path.join(
+                    self.dump_dir, f"chi2test_{total}.m"
+                ) if self.dump_files else None
                 ok, msg = run_chi2_bsdf(
                     bsdf, wi, self.sample_count, self.cos_res, self.phi_res,
                     self.min_exp_frequency, self.significance, num_tests,
-                    seed=total,
+                    seed=total, dump_file=dump,
                 )
                 if verbose:
                     print(f"[chi2] {bsdf!r} wi_z={cos_theta:.3f}: {msg}")

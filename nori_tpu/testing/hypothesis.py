@@ -141,3 +141,32 @@ def _simpson_cells(pdf_fn, x_edges, y_edges, order: int):
     wy = (np.diff(y_edges) / (3.0 * (order - 1)))[None, :]
     ww = w[:, None] * w[None, :]
     return np.einsum("abij,ij->ab", vals, ww) * wx * wy
+
+
+def chi2_dump(obs, exp, filename: str):
+    """Write observed/expected frequency tables as a MATLAB script
+    (the hypothesis library's chi2_dump contract, invoked by
+    src/chi2test.cpp:179-180 as chi2test_%i.m): load it in
+    MATLAB/Octave to plot both tables side by side when a test fails
+    on the TPU host."""
+    obs = np.asarray(obs, dtype=np.float64)
+    exp = np.asarray(exp, dtype=np.float64)
+
+    def mat(a):
+        rows = ["  " + " ".join(f"{v:.6g}" for v in row) for row in a]
+        return "[\n" + ";\n".join(rows) + "\n];"
+
+    with open(filename, "w") as f:
+        f.write("obsFrequencies = " + mat(obs) + "\n")
+        f.write("expFrequencies = " + mat(exp) + "\n")
+        f.write(
+            "colormap(jet);\n"
+            "clf; subplot(2,1,1);\n"
+            "imagesc(obsFrequencies);\n"
+            "title('Observed frequencies');\n"
+            "axis equal;\n"
+            "subplot(2,1,2);\n"
+            "imagesc(expFrequencies);\n"
+            "title('Expected frequencies');\n"
+            "axis equal;\n"
+        )

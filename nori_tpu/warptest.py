@@ -5,9 +5,15 @@ test core :121-227): histogram `1000 * res` samples pushed through a
 warp (or the microfacet BRDF) and chi^2-compare against the claimed pdf
 integrated over the bins; exit code 0/1 for scripting.  The nanogui
 point-cloud visualizer half is replaced by an optional matplotlib
-scatter dump (--plot out.png) — no GL on TPU hosts.
+scatter dump (--plot out.png) — no GL on TPU hosts — with the GUI's
+point-sampling modes (src/warptest.cpp:73-77, 283-293):
+independent | grid ((x+.5)/sqrt(n)) | stratified ((x+xi)/sqrt(n)),
+plus the warped-gridline overlay (--grid-lines) that draws the image
+of a regular lattice under the warp.
 
-Usage:  python -m nori_tpu.warptest <warp> [param] [param2] [--plot f.png]
+Usage:  python -m nori_tpu.warptest <warp> [param] [param2]
+            [--plot f.png] [--mode independent|grid|stratified]
+            [--grid-lines]
   warps: square | tent | disk | sphere | hemisphere | cosine |
          beckmann <alpha> | microfacet <alpha> [cos_theta_i]
 """
@@ -31,6 +37,55 @@ SAMPLE_FACTOR = 1000
 def _samples(n, seed=0):
     lanes = jnp.arange(n, dtype=jnp.uint32)
     return rng.uniform2(jnp.uint32(seed), lanes, jnp.uint32(0))
+
+
+def _mode_samples(n, mode: str, seed=0):
+    """Unit-square inputs per the GUI sampling modes
+    (src/warptest.cpp:283-293)."""
+    if mode == "independent":
+        return _samples(n, seed)
+    side = int(np.sqrt(n))
+    x, y = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    if mode == "grid":
+        jit = 0.5
+    else:  # stratified
+        jit = np.asarray(
+            rng.uniform2(jnp.uint32(seed),
+                         jnp.arange(side * side, dtype=jnp.uint32),
+                         jnp.uint32(1)))
+    if mode == "grid":
+        u = np.stack([(x.ravel() + 0.5) / side,
+                      (y.ravel() + 0.5) / side], -1)
+    else:
+        u = np.stack([(x.ravel() + jit[:, 0]) / side,
+                      (y.ravel() + jit[:, 1]) / side], -1)
+    return jnp.asarray(u, jnp.float32)
+
+
+def warp_points(name: str, u, param: float = 0.0):
+    """Apply a warp (not the BRDF) to explicit unit-square samples."""
+    fn, pdf, dim, takes_alpha = W.WARPS[name]
+    if takes_alpha:
+        return np.asarray(fn(u, param if param > 0 else 0.1))
+    return np.asarray(fn(u))
+
+
+def grid_lines(name: str, param: float = 0.0, res: int = 8,
+               samples_per_edge: int = 64):
+    """Polylines of a regular res x res lattice pushed through the
+    warp (the GUI's warped-grid visualization)."""
+    lines = []
+    t = np.linspace(0.0, 1.0, samples_per_edge)
+    for i in range(res + 1):
+        c = i / res
+        for axis in (0, 1):
+            if axis == 0:
+                u = np.stack([np.full_like(t, c), t], -1)
+            else:
+                u = np.stack([t, np.full_like(t, c)], -1)
+            lines.append(warp_points(
+                name, jnp.asarray(u, jnp.float32), param))
+    return lines
 
 
 def run_warp_test(name: str, param: float = 0.0, param2: float = 0.0,
@@ -131,6 +186,11 @@ def main(argv=None):
     ap.add_argument("param2", nargs="?", type=float, default=0.0)
     ap.add_argument("--plot", default=None,
                     help="write a point-cloud scatter PNG")
+    ap.add_argument("--mode", default="independent",
+                    choices=["independent", "grid", "stratified"],
+                    help="point sampling mode for --plot")
+    ap.add_argument("--grid-lines", action="store_true",
+                    help="overlay the warped image of a regular grid")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -141,16 +201,27 @@ def main(argv=None):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        if args.mode != "independent" and args.warp in W.WARPS:
+            u = _mode_samples(64 * 64, args.mode, args.seed)
+            pts = warp_points(args.warp, u, args.param)
         fig = plt.figure(figsize=(6, 6))
         sub = pts[:: max(1, len(pts) // 20000)]
-        if pts.shape[1] == 3:
-            ax = fig.add_subplot(111, projection="3d")
+        is3d = pts.shape[1] == 3
+        ax = fig.add_subplot(111, projection="3d" if is3d else None)
+        if is3d:
             ax.scatter(sub[:, 0], sub[:, 1], sub[:, 2], s=0.5, alpha=0.4)
         else:
-            ax = fig.add_subplot(111)
             ax.scatter(sub[:, 0], sub[:, 1], s=0.5, alpha=0.4)
             ax.set_aspect("equal")
-        ax.set_title(f"{args.warp} ({len(pts)} samples)")
+        if args.grid_lines and args.warp in W.WARPS:
+            for line in grid_lines(args.warp, args.param):
+                if is3d:
+                    ax.plot(line[:, 0], line[:, 1], line[:, 2],
+                            lw=0.6, color="crimson", alpha=0.8)
+                else:
+                    ax.plot(line[:, 0], line[:, 1],
+                            lw=0.6, color="crimson", alpha=0.8)
+        ax.set_title(f"{args.warp} [{args.mode}] ({len(pts)} samples)")
         fig.savefig(args.plot, dpi=110)
         print(f"wrote {args.plot}")
     return 0 if passed else 1

@@ -103,3 +103,61 @@ def test_beckmann(alpha):
         lambda u: warp.square_to_beckmann(u, alpha),
         lambda v: warp.square_to_beckmann_pdf(v, alpha),
     )
+
+
+def test_warptest_modes_and_gridlines(tmp_path):
+    """GUI-parity extras: grid/stratified point modes + warped
+    gridline overlay (src/warptest.cpp:73-77, 283-293)."""
+    from nori_tpu import warptest as wt
+    import numpy as np
+
+    u = np.asarray(wt._mode_samples(64 * 64, "grid"))
+    assert u.shape == (4096, 2)
+    # grid points are lattice midpoints
+    assert np.allclose(sorted(set(np.round(u[:, 0], 6)))[:2],
+                       [0.5 / 64, 1.5 / 64], atol=1e-6)
+    us = np.asarray(wt._mode_samples(64 * 64, "stratified", seed=1))
+    assert ((us >= 0) & (us < 1)).all()
+    # each stratified point stays in its own cell
+    cell = np.floor(us * 64).astype(int)
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    assert (cell[:, 0] == gx.ravel()).all()
+    assert (cell[:, 1] == gy.ravel()).all()
+
+    lines = wt.grid_lines("disk", res=4)
+    assert len(lines) == 2 * 5
+    for line in lines:
+        assert np.linalg.norm(line, axis=1).max() <= 1.0 + 1e-5
+
+    out = str(tmp_path / "disk.png")
+    rc = wt.main(["disk", "--plot", out, "--mode", "grid",
+                  "--grid-lines"])
+    assert rc == 0
+    import os
+    assert os.path.getsize(out) > 0
+
+
+def test_chi2_plugin_writes_matlab_dumps(tmp_path):
+    """The chi2 plugin writes chi2test_%i.m debug tables like the
+    reference (src/chi2test.cpp:179-180)."""
+    import os
+    from nori_tpu.props import PropertyList
+    from nori_tpu.registry import create_instance
+    from nori_tpu.testing.chi2 import ChiSquareTest
+
+    pl = PropertyList()
+    pl.set_integer("testCount", 1)
+    pl.set_integer("sampleCount", 20000)
+    test = ChiSquareTest(pl)
+    bp = PropertyList()
+    bp.set_color("albedo", np.array([0.5, 0.5, 0.5]))
+    test.add_child(create_instance("diffuse", bp))
+    test.dump_dir = str(tmp_path)
+    ok = test.run(verbose=False)
+    assert ok
+    dump = tmp_path / "chi2test_1.m"
+    assert dump.exists()
+    text = dump.read_text()
+    assert "obsFrequencies = [" in text
+    assert "expFrequencies = [" in text
+    assert "imagesc(obsFrequencies);" in text
