@@ -1,11 +1,22 @@
-"""Benchmark: path-MIS rendering throughput on the flagship workload.
+"""Benchmark: path-MIS rendering throughput on the flagship workloads.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md): 100 Mrays/s on the pa5 living-room-class
-workload.  The measured scene is the richest available: the reference
-pa5 cbox_mis (800x600, path_mis, mirror+dielectric+diffuse+area light)
-when the reference checkout is present, else the equivalent built-in
-Cornell box.  Warmup passes are excluded (first-touch on the axon
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline (BASELINE.md): >= 100 Mrays/s aggregate on a v5e-8 for the
+pa5 living-room workload at 1024 spp, i.e. 12.5 Mrays/s per chip; this
+bench runs on the ONE attached chip, so `value` is single-chip
+throughput on the named living-room-class workload and `vs_baseline`
+divides by the full 100 (the 8-chip bar, not the per-chip share).
+
+Measured set:
+  living_room — the in-framework reconstruction of the absent pa5
+      living-room scene (scenes_builtin.living_room, 51.7k triangles,
+      1280x720 like the stored reference EXR).  Headline number.
+  cbox_mis / table_mis — the richest reference pa5 scenes present in
+      the checkout (800x600 path_mis).
+Throughput is spp-independent once the lane pool is warm (the
+persistent wavefront regenerates lanes), so the per-scene spp only
+bounds bench runtime; the 1024-spp target workload runs at >= the
+reported rate.  Warmup passes are excluded (first-touch on the axon
 tunnel costs minutes and is not render throughput).
 """
 
@@ -13,41 +24,63 @@ from __future__ import annotations
 
 import json
 import os
-import sys
-import time
 
-BASELINE_MRAYS = 100.0
+BASELINE_MRAYS = 100.0       # v5e-8 aggregate target
+PER_CHIP_TARGET = BASELINE_MRAYS / 8.0
 REF_CBOX = "/root/reference/scenes/pa5/cbox/cbox_mis.xml"
+REF_TABLE = "/root/reference/scenes/pa5/table/table_mis.xml"
+
+
+def _bench_scene(scene, spp, n_lanes=131072):
+    import numpy as np
+    import jax.numpy as jnp
+    from nori_tpu.wavefront import render_wavefront
+
+    sd = scene.compile()
+    float(jnp.sum(sd.tri_v0))        # materialize scene upload
+    render_wavefront(scene, spp=spp, n_lanes=n_lanes, seed=0)  # warm
+    img, stats = render_wavefront(scene, spp=spp, n_lanes=n_lanes, seed=1)
+    n_tris = int(np.sum(np.asarray(sd.tri_v0)[:, 0] < 1e29))
+    return {
+        "mrays_per_sec": round(stats["mrays_per_sec"], 3),
+        "seconds": round(stats["seconds"], 2),
+        "rays": stats["rays"],
+        "spp": spp,
+        "triangles": n_tris,
+        "mean_radiance": round(float(np.mean(img)), 4),
+    }
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    from nori_tpu.scenes_builtin import living_room, cornell_box
 
-    from nori_tpu.wavefront import render_wavefront
+    breakdown = {}
+
+    lr = living_room(width=1280, height=720, spp=8, detail=5)
+    breakdown["living_room"] = _bench_scene(lr, spp=8)
 
     if os.path.exists(REF_CBOX):
         from nori_tpu import load_from_xml
 
-        scene = load_from_xml(REF_CBOX)
+        breakdown["cbox_mis"] = _bench_scene(load_from_xml(REF_CBOX), spp=16)
     else:
-        from nori_tpu.scenes_builtin import cornell_box
+        breakdown["cbox_mis"] = _bench_scene(
+            cornell_box(width=800, height=600, spp=16), spp=16)
+    if os.path.exists(REF_TABLE):
+        from nori_tpu import load_from_xml
 
-        scene = cornell_box(width=800, height=600, spp=16)
+        breakdown["table_mis"] = _bench_scene(
+            load_from_xml(REF_TABLE), spp=16)
 
-    # warm the tunnel + compile with one full-config render (the
-    # stepper jit cache is keyed by spp), then measure a second run
-    sd = scene.compile()
-    float(jnp.sum(sd.tri_v0))
-    render_wavefront(scene, spp=16, n_lanes=131072, seed=0)
-    img, stats = render_wavefront(scene, spp=16, n_lanes=131072, seed=1)
-    mrays = stats["mrays_per_sec"]
+    headline = breakdown["living_room"]["mrays_per_sec"]
     print(json.dumps({
-        "metric": "mrays_per_sec",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "metric": "mrays_per_sec_living_room",
+        "value": headline,
+        "unit": "Mrays/s (single chip)",
+        "vs_baseline": round(headline / BASELINE_MRAYS, 4),
+        "per_chip_target": PER_CHIP_TARGET,
+        "vs_per_chip_target": round(headline / PER_CHIP_TARGET, 4),
+        "breakdown": breakdown,
     }))
 
 

@@ -232,7 +232,7 @@ def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
 
 def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
                         t_ref,
-                        *, n_tt: int, any_hit: bool):
+                        *, n_tt: int, any_hit: bool, use_mxu: bool):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
@@ -253,6 +253,12 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     (n_rt, 2*n_tt) SMEM operand: prefetched SMEM operands are padded to
     128 lanes each, so operand COUNT (not width) is what blows the 1MB
     SMEM budget (the caller also chunks rays to bound n_rt).
+
+    use_mxu: tri_ref is the (10, 4*T) weight matrix (SceneData.tri_mxu)
+    and each visit is a (TILE_N, 10) x (10, 4*FINE_T) fp32 matmul on
+    the systolic array producing [det | u_num | v_num | t_num] blocks;
+    the VPU keeps only the reciprocal + compare + fold epilogue (~20
+    ops/pair instead of the ~60-op Moller-Trumbore block).
 
     Layout notes (all measured on the v5e chip): rays stay (8, TILE_N)
     — the lane->sublane reshape of the 8 components compiles to a fast
@@ -286,12 +292,42 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
         kc = jnp.minimum(k, n_tt - 1)  # avoid OOB read at k == n_tt
         return (k < n_tt) & alive & (oe_ref[i, n_tt + kc] <= t_hi)
 
+    if use_mxu:
+        cxr = oy * dz - oz * dy
+        cyr = oz * dx - ox * dz
+        czr = ox * dy - oy * dx
+        feats = jnp.concatenate(
+            [ox, oy, oz, dx, dy, dz, cxr, cyr, czr,
+             jnp.ones((TILE_N, 1), jnp.float32),
+             jnp.zeros((TILE_N, 6), jnp.float32)], axis=1)  # (N, 16)
+
     def body(carry):
         k, t_hi, alive, bt, bi = carry
         jj = oe_ref[i, k].astype(jnp.int32)
-        tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
-        hit, t, u, v = _mt_block(
-            tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+        if use_mxu:
+            w = tri_ref[:, pl.ds(jj * 4 * FINE_T, 4 * FINE_T)]
+            prod = jax.lax.dot_general(
+                feats, w, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                   # (N, 4*FINE_T)
+            det = prod[:, 0 * FINE_T:1 * FINE_T]
+            un = prod[:, 1 * FINE_T:2 * FINE_T]
+            vn = prod[:, 2 * FINE_T:3 * FINE_T]
+            tn = prod[:, 3 * FINE_T:4 * FINE_T]
+            ok = jnp.abs(det) > 1e-8
+            r = 1.0 / jnp.where(ok, det, 1.0)
+            u = un * r
+            v = vn * r
+            t = tn * r
+            hit = (
+                ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (t >= mint) & (t <= maxt)
+            )
+        else:
+            tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
+            hit, t, u, v = _mt_block(
+                tris, ox, oy, oz, dx, dy, dz, mint, maxt)
         tm = jnp.where(hit, t, jnp.inf)
         tile_min = jnp.min(tm, axis=1, keepdims=True)
         # ties break toward the lowest lane index; u/v are NOT selected
@@ -325,6 +361,10 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     t_ref[:, 0:1] = bt
     t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
 
+
+#: MXU-form resident kernel operand budget: (10, 4*T) f32 weights must
+#: leave room for rays/outputs/feats in the 16 MB VMEM
+RESIDENT_MXU_VMEM_BUDGET = 6 * 1024 * 1024
 
 #: resident kernel VMEM budget for the triangle soup (bytes)
 RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
@@ -367,12 +407,15 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
     return entry_rt, tile_order, entry_sorted
 
 
-def _resident_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
+def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
+                   use_mxu: bool):
     """One pallas_call of the resident kernel over all given rays.
 
+    tris_op: (9, T) soup, or (10, 4*T) MXU weights when use_mxu.
     rays_packed: (8, N).  Returns (t, idx) each (N,).
     """
-    _, T = tris_packed.shape
+    rows, cols = tris_op.shape
+    T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_rt = N // TILE_N
     n_tt = T // FINE_T
@@ -382,14 +425,14 @@ def _resident_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
         [tile_order.astype(jnp.float32), entry_sorted], axis=1)
 
     kernel = functools.partial(
-        _mt_resident_kernel, n_tt=n_tt, any_hit=any_hit)
+        _mt_resident_kernel, n_tt=n_tt, any_hit=any_hit, use_mxu=use_mxu)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed [order | sorted entry]
         grid=(n_rt,),
         in_specs=[
-            pl.BlockSpec((9, T), lambda i, *pref: (0, 0),
-                         memory_space=pltpu.VMEM),   # whole soup
+            pl.BlockSpec((rows, cols), lambda i, *pref: (0, 0),
+                         memory_space=pltpu.VMEM),   # whole soup/weights
             pl.BlockSpec((8, TILE_N), lambda i, *pref: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -405,37 +448,39 @@ def _resident_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order_entry, tris_packed, rays_packed)
+    )(order_entry, tris_op, rays_packed)
     return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def mt_sweep_resident(tris_packed, tile_bounds, scene_bounds, rays_packed,
-                      any_hit: bool = False):
+@functools.partial(jax.jit, static_argnames=("any_hit", "use_mxu"))
+def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
+                      any_hit: bool = False, use_mxu: bool = False):
     """Resident-soup sweep; returns (t, idx) each (N,), idx == -1 miss.
 
-    (u, v) are NOT computed — the interaction fill recomputes them from
-    the winning triangle.  Requires 9*T*4 bytes of VMEM for the
-    triangles (caller gates on RESIDENT_VMEM_BUDGET); rays are
-    processed in chunks sized so the prefetched order|entry table fits
-    the SMEM budget.  (scene_bounds is accepted for signature
-    compatibility; the exact per-tile candidate lists made the
-    geometric reach cap redundant.)
+    tris_op is the (9, T) soup, or SceneData.tri_mxu (10, 4*T) when
+    use_mxu (caller gates on the VMEM budgets).  (u, v) are NOT
+    computed — the interaction fill recomputes them from the winning
+    triangle.  Rays are processed in chunks sized so the prefetched
+    order|entry table fits the SMEM budget.  (scene_bounds is accepted
+    for signature compatibility; the exact per-tile candidate lists
+    made the geometric reach cap redundant.)
     """
     del scene_bounds
-    _, T = tris_packed.shape
+    rows, cols = tris_op.shape
+    T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_tt = T // FINE_T
     pad_cols = -(-2 * n_tt // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
-        return _resident_call(tris_packed, tile_bounds, rays_packed, any_hit)
+        return _resident_call(tris_op, tile_bounds, rays_packed, any_hit,
+                              use_mxu)
     outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _resident_call(
-            tris_packed, tile_bounds, rays_packed[:, lo:hi], any_hit)
+            tris_op, tile_bounds, rays_packed[:, lo:hi], any_hit, use_mxu)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)

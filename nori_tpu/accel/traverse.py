@@ -218,7 +218,8 @@ def intersect_bvh(scene, o, d, mint, maxt, any_hit: bool = False,
 
 def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
     from nori_tpu.accel.pallas_mt import (
-        RESIDENT_VMEM_BUDGET, mt_sweep, mt_sweep_resident, pack_rays,
+        RESIDENT_VMEM_BUDGET, RESIDENT_MXU_VMEM_BUDGET,
+        mt_sweep, mt_sweep_resident, pack_rays,
     )
 
     rays, n = pack_rays(o, d, mint, maxt)
@@ -226,10 +227,21 @@ def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
     if 9 * T * 4 <= RESIDENT_VMEM_BUDGET:
         # resident kernel returns (t, idx) only; u/v are recomputed by
         # the interaction fill from the winning triangle's row of the
-        # attribute gather it already performs
+        # attribute gather it already performs.  The MXU form is OFF by
+        # default: measured on the v5e chip, the fp32 matmul emulation
+        # (6 bf16 passes) plus per-visit matmul staging inside the
+        # serialized while_loop costs ~2 us/visit, losing to the
+        # VPU block (7.3 ms vs 5.2 ms on the cbox bounce distribution)
+        # despite doing 3x fewer VPU ops/pair.  Kept selectable for
+        # hardware with native fp32 MXU throughput.
+        from nori_tpu import config
+
+        use_mxu = (config.USE_MXU_SWEEP
+                   and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
         t, idx = mt_sweep_resident(
-            scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,
-            rays, any_hit=any_hit,
+            scene.tri_mxu if use_mxu else scene.tri_packed,
+            scene.tri_tile_bounds, scene.scene_bounds,
+            rays, any_hit=any_hit, use_mxu=use_mxu,
         )
         u = v = jnp.zeros_like(t)
     else:

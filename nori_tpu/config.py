@@ -18,6 +18,13 @@ import jax
 
 accel_mode: str = "auto"
 
+#: use the MXU (matmul) form of the resident sweep.  Measured SLOWER
+#: on v5e (fp32 matmul is emulated with 6 bf16 passes and each
+#: per-visit matmul inside the serialized candidate loop pays ~2 us of
+#: staging): 7.3 ms vs 5.2 ms on the cbox bounce distribution.  Kept
+#: as an option for TPU generations with native fp32 MXU throughput.
+USE_MXU_SWEEP: bool = False
+
 #: dense-sweep cutoff: above this triangle count use the BVH
 PALLAS_MAX_TRIS = 1 << 17
 

@@ -30,6 +30,41 @@ from nori_tpu.bsdf import BSDFTable
 TRI_PAD = 512  # triangle padding granularity (LCM of sweep-kernel tiles)
 
 
+def _build_tri_mxu(v0, e1, e2, n_tris):
+    """(10, 4*T) Moller-Trumbore weight matrix for the MXU sweep.
+
+    Ray features F = [o(3), d(3), (o x d)(3), 1]; per triangle the four
+    output columns reconstruct (equivalently to src/mesh.cpp:51-88):
+      det   = -d.n                      (n = e1 x e2, unnormalized)
+      u_num = (o x d).e2 + d.(v0 x e2)  (= (o-v0).(d x e2))
+      v_num = -(o x d).e1 - d.(v0 x e1) (= d.((o-v0) x e1))
+      t_num = o.n - v0.n                (= e2.((o-v0) x e1))
+    so that u = u_num/det, v = v_num/det, t = t_num/det.  Columns are
+    grouped per FINE_T tile as [det | u | v | t] blocks so the kernel
+    epilogue slices aligned (TILE_N, FINE_T) views.  Padded triangles
+    get all-zero columns (det == 0 -> never hit).
+    """
+    from nori_tpu.accel.pallas_mt import FINE_T
+
+    T = v0.shape[0]
+    n = np.cross(e1, e2)
+    w = np.zeros((T, 4, 16), dtype=np.float32)  # K padded 10 -> 16
+    w[:, 0, 3:6] = -n
+    w[:, 1, 3:6] = np.cross(v0, e2)
+    w[:, 1, 6:9] = e2
+    w[:, 2, 3:6] = -np.cross(v0, e1)
+    w[:, 2, 6:9] = -e1
+    w[:, 3, 0:3] = n
+    w[:, 3, 9] = -np.einsum("ij,ij->i", v0, n)
+    w[n_tris:] = 0.0
+    # (T, 4, 16) -> tiles (T/F, F, 4, 16) -> (T/F, 4, F, 16) ->
+    # rows 16, cols tile-major [det block | u | v | t]
+    nt = T // FINE_T
+    wt = w.reshape(nt, FINE_T, 4, 16).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(
+        wt.reshape(nt * 4 * FINE_T, 16).T).astype(np.float32)
+
+
 class SceneData(NamedTuple):
     """Flat render-ready scene (all jnp arrays; a valid jit argument)."""
 
@@ -56,6 +91,11 @@ class SceneData(NamedTuple):
     # [type-bits(1), albedo(3), alpha, int_ior, ext_ior, ks, Le(3), pad]
     mesh_attr: jnp.ndarray  # (M, 12)
     tri_packed: jnp.ndarray  # (9, T) [v0|e1|e2] layout for the MT sweep kernel
+    # MXU form of Moller-Trumbore: per FINE_T tile, 4 column blocks
+    # [det | u_num | v_num | t_num]; ray features [o, d, o x d, 1]
+    # (10) contract against these on the systolic array, leaving only
+    # the ratio/compare epilogue on the VPU
+    tri_mxu: jnp.ndarray   # (10, 4*T)
     tri_tile_bounds: jnp.ndarray  # (T/FINE_T, 8) per-tile AABBs for culling
     scene_bounds: jnp.ndarray  # (1, 8) [center xyz, half-diag, ...]
 
@@ -325,6 +365,7 @@ class Scene(NoriObject):
             tri_packed=jnp.asarray(
                 np.concatenate([v0.T, e1.T, e2.T], axis=0)
             ),
+            tri_mxu=jnp.asarray(_build_tri_mxu(v0, e1, e2, n_tris)),
             tri_tile_bounds=jnp.asarray(tile_bounds),
             scene_bounds=jnp.asarray(scene_bounds_row),
             bsdf=bsdf_table,

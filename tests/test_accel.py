@@ -77,3 +77,36 @@ def test_mint_excludes_near_hits(cbox):
     # any new hit must be strictly farther
     both = v & np.asarray(h2.valid)
     assert np.all(np.asarray(h2.t)[both] >= t[both])
+
+
+def test_mxu_sweep_matches_plain():
+    """The MXU (matmul) form of the resident sweep agrees with the VPU
+    Moller-Trumbore block (same winning triangle and t)."""
+    import jax.numpy as jnp
+    from nori_tpu.scenes_builtin import cornell_box
+    from nori_tpu.accel.pallas_mt import mt_sweep_resident, pack_rays
+
+    scene = cornell_box(width=16, height=16, spp=1, sphere_subdiv=2)
+    sd = scene.compile()
+    rs = np.random.RandomState(0)
+    N = 1024
+    o = (np.array([0, 1, 0], np.float32)
+         + rs.randn(N, 3).astype(np.float32) * 0.5)
+    d = rs.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    mint = np.full(N, 1e-4, np.float32)
+    maxt = np.full(N, 1e30, np.float32)
+    rays, n = pack_rays(jnp.asarray(o), jnp.asarray(d),
+                        jnp.asarray(mint), jnp.asarray(maxt))
+    t0, i0 = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rays)
+    t1, i1 = mt_sweep_resident(
+        sd.tri_mxu, sd.tri_tile_bounds, sd.scene_bounds, rays,
+        use_mxu=True)
+    i0, i1 = np.asarray(i0), np.asarray(i1)
+    assert (i0 >= 0).mean() > 0.5  # origins near the box: many hits
+    assert (i0 == i1).mean() > 0.999
+    same = (i0 == i1) & (i0 >= 0)
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    assert np.max(np.abs(t0[same] - t1[same])
+                  / np.maximum(t0[same], 1e-3)) < 1e-4

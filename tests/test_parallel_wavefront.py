@@ -23,7 +23,7 @@ from nori_tpu.parallel import (
     make_mesh, make_sharded_wavefront, render_sharded_wavefront)
 from nori_tpu.integrators.path import MIS
 
-W, H, SPP = 64, 48, 4
+W, H, SPP = 48, 32, 2
 TOTAL_Q = W * H * SPP
 CHUNK_DEV = ((-(-TOTAL_Q // 8)) // SPP) * SPP
 
