@@ -48,6 +48,8 @@ def _bench_scene(scene, spp, n_lanes=131072):
         "spp": spp,
         "triangles": n_tris,
         "mean_radiance": round(float(np.mean(img)), 4),
+        "occupancy": round(stats.get("occupancy", 0.0), 3),
+        "steps": stats.get("steps", 0),
     }
 
 
@@ -72,6 +74,21 @@ def main():
         breakdown["table_mis"] = _bench_scene(
             load_from_xml(REF_TABLE), spp=16)
 
+    # kernel-level accounting on the cbox bounce-ray distribution
+    # (profiling.kernel_report): exact candidate pairs, pair-test rate
+    # and implied VPU FLOP/s for the sweep, plus the render's measured
+    # lane occupancy
+    try:
+        from nori_tpu.profiling import kernel_report
+        from nori_tpu import load_from_xml
+        from nori_tpu.scenes_builtin import cornell_box
+
+        kscene = (load_from_xml(REF_CBOX) if os.path.exists(REF_CBOX)
+                  else cornell_box(width=800, height=600, spp=16))
+        kernel = kernel_report(kscene)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        kernel = {"error": str(e)}
+
     headline = breakdown["living_room"]["mrays_per_sec"]
     print(json.dumps({
         "metric": "mrays_per_sec_living_room",
@@ -81,6 +98,7 @@ def main():
         "per_chip_target": PER_CHIP_TARGET,
         "vs_per_chip_target": round(headline / PER_CHIP_TARGET, 4),
         "breakdown": breakdown,
+        "kernel": kernel,
     }))
 
 

@@ -441,6 +441,7 @@ def run_chunk(steppers, sd, seed, q0, q_end,
     init, step, n_act, finalize, shrink, small_step, small_n_act = steppers
     carry = init(seed, q0, q_end)
     it = 0
+    wide_it = 0
     small = False
     pending = None
     while it < max_iters:
@@ -448,6 +449,8 @@ def run_chunk(steppers, sd, seed, q0, q_end,
         for _ in range(check_every):
             carry = cur_step(sd, carry, seed)
             it += 1
+            if not small:
+                wide_it += 1
         handle = (small_n_act if small else n_act)(carry)  # async
         if pending is not None:
             n = int(pending)
@@ -461,7 +464,7 @@ def run_chunk(steppers, sd, seed, q0, q_end,
     else:
         raise RuntimeError("run_chunk did not drain")
     L_out = finalize(carry[2], q0)
-    return L_out, carry[4]
+    return L_out, carry[4], (it, wide_it)
 
 
 def make_dense_splat(scene, chunk: int):
@@ -647,8 +650,12 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     q_end = jnp.uint32(total_q)
     chunks_done = 0
     done = q_start >= total_q
+    steps_total = wide_total = 0
     for q0 in range(q_start, total_q, chunk):
-        L_out, rays = run_chunk(steppers, sd, seed_arr, jnp.uint32(q0), q_end)
+        L_out, rays, (its, wide) = run_chunk(
+            steppers, sd, seed_arr, jnp.uint32(q0), q_end)
+        steps_total += its
+        wide_total += wide
         film = splat_chunk(film, L_out, seed_arr, jnp.uint32(q0), q_end)
         ray_handles.append(rays)
         if checkpoint_path:
@@ -680,9 +687,16 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     dt = time.time() - t0
     total_rays = rays_resumed + int(
         np.sum([int(r) for r in ray_handles]))
+    n_small = max(1024, n_lanes // SHRINK_FACTOR)
+    lane_steps = (wide_total * n_lanes
+                  + (steps_total - wide_total) * n_small)
     return img, {
         "spp": spp, "seconds": dt, "pixels": w * h, "rays": total_rays,
         "mrays_per_sec": total_rays / max(dt, 1e-9) / 1e6,
         "samples_per_sec": total_q / max(dt, 1e-9),
         "done": done,
+        "steps": steps_total,
+        # fraction of sweep lanes that carried a live ray (each step
+        # sweeps <= 2 rays/lane: closest-hit + shadow)
+        "occupancy": total_rays / max(2 * lane_steps, 1),
     }
