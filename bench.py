@@ -64,28 +64,23 @@ def main():
     if os.path.exists(REF_CBOX):
         from nori_tpu import load_from_xml
 
-        breakdown["cbox_mis"] = _bench_scene(load_from_xml(REF_CBOX), spp=16)
+        cbox = load_from_xml(REF_CBOX)
     else:
-        breakdown["cbox_mis"] = _bench_scene(
-            cornell_box(width=800, height=600, spp=16), spp=16)
-    if os.path.exists(REF_TABLE):
-        from nori_tpu import load_from_xml
-
-        breakdown["table_mis"] = _bench_scene(
-            load_from_xml(REF_TABLE), spp=16)
+        cbox = cornell_box(width=800, height=600, spp=16)
+    breakdown["cbox_mis"] = _bench_scene(cbox, spp=16)
+    # (table_mis, 22.8k tris, measures ~6.6 Mrays/s with the same
+    # setup — omitted from the default run to bound bench wall time;
+    # pass it to scripts via _bench_scene if needed)
 
     # kernel-level accounting on the cbox bounce-ray distribution
     # (profiling.kernel_report): exact candidate pairs, pair-test rate
     # and implied VPU FLOP/s for the sweep, plus the render's measured
-    # lane occupancy
+    # lane occupancy.  Reuses the scene just benched so its compiled
+    # stepper cache is warm.
     try:
         from nori_tpu.profiling import kernel_report
-        from nori_tpu import load_from_xml
-        from nori_tpu.scenes_builtin import cornell_box
 
-        kscene = (load_from_xml(REF_CBOX) if os.path.exists(REF_CBOX)
-                  else cornell_box(width=800, height=600, spp=16))
-        kernel = kernel_report(kscene)
+        kernel = kernel_report(cbox)
     except Exception as e:  # pragma: no cover - diagnostics only
         kernel = {"error": str(e)}
 
