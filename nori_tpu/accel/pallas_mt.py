@@ -376,6 +376,196 @@ RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 RESIDENT_SMEM_BUDGET = 512 * 1024
 
 
+def _entry_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int):
+    """Per-ray-tile minimum slab-entry distance to every FINE_T tile.
+
+    The jnp formulation materializes (N, n_tt, 3) broadcast
+    intermediates in HBM (measured 6.1 ms for 131k rays x 404 tiles);
+    here everything stays in VMEM/registers and only the (8, n_tt)
+    reduction rows leave.  One grid step covers 8 ray tiles (Mosaic
+    requires output sublanes divisible by 8).
+    tb_ref: (8, n_tt_pad) = [bmin xyz | bmax xyz | pad] columns.
+    """
+    def row(i):
+        return tb_ref[i, :].reshape(1, n_tt_pad)
+
+    for g in range(8):
+        rays = ray_ref[:, pl.ds(g * TILE_N, TILE_N)]
+
+        def col(i):
+            return rays[i, :].reshape(TILE_N, 1)
+
+        ox, oy, oz = col(0), col(1), col(2)
+        dx, dy, dz = col(3), col(4), col(5)
+        mint, maxt = col(6), col(7)
+        live = mint <= maxt
+
+        def inv(c):
+            return 1.0 / jnp.where(
+                jnp.abs(c) < 1e-20,
+                jnp.where(c < 0, -1e-20, 1e-20), c)
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        t0x = (row(0) - ox) * ix
+        t1x = (row(3) - ox) * ix
+        t0y = (row(1) - oy) * iy
+        t1y = (row(4) - oy) * iy
+        t0z = (row(2) - oz) * iz
+        t1z = (row(5) - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        cand = (tn <= tf) & (tf >= mint) & (tn <= maxt) & live
+        entry = jnp.where(cand, tn, jnp.inf)
+        out_ref[g, :] = jnp.min(entry, axis=0)
+
+
+def _entry_min_pallas(tile_bounds, rays_packed, tile_n: int):
+    """(n_rt, n_tt) per-ray-tile minimum entry distances via Pallas."""
+    _, N = rays_packed.shape
+    n_rt = N // tile_n
+    n_tt = tile_bounds.shape[0]
+    n_tt_pad = -(-n_tt // 128) * 128
+    # pad the ray-tile axis to groups of 8 with dead rays
+    pad_rt = (-n_rt) % 8
+    if pad_rt:
+        filler = jnp.zeros((8, pad_rt * tile_n), rays_packed.dtype)
+        filler = filler.at[6, :].set(1.0)
+        filler = filler.at[7, :].set(-1.0)
+        rays_packed = jnp.concatenate([rays_packed, filler], axis=1)
+    # (n_tt, 8) -> (8, n_tt_pad); padded tiles get inverted boxes
+    tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
+    tb = tb.at[:, 3:6].set(-jnp.inf)
+    tb = tb.at[:n_tt].set(tile_bounds)
+    tb_t = tb.T
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_entry_kernel, n_tt_pad=n_tt_pad),
+        grid=((n_rt + pad_rt) // 8,),
+        in_specs=[
+            pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8 * tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, n_tt_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rt + pad_rt, n_tt_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tb_t, rays_packed)
+    return out[:n_rt, :n_tt]
+
+
+def _lane_mask_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int):
+    """Per-LANE candidate-tile bitmask, packed 16 tiles per f32 value
+    (exact in f32; the caller fuses pairs into int32 words).  Same slab
+    math as _entry_kernel; the bit packing is a (TILE_N, n_tt_pad) x
+    (n_tt_pad, W) matmul against a block-diagonal power-of-two matrix,
+    which the MXU does for free."""
+    rays = ray_ref[:, :]
+
+    def col(i):
+        return rays[i, :].reshape(TILE_N, 1)
+
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    mint, maxt = col(6), col(7)
+    live = mint <= maxt
+
+    def inv(c):
+        return 1.0 / jnp.where(
+            jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    def row(i):
+        return tb_ref[i, :].reshape(1, n_tt_pad)
+
+    t0x = (row(0) - ox) * ix
+    t1x = (row(3) - ox) * ix
+    t0y = (row(1) - oy) * iy
+    t1y = (row(4) - oy) * iy
+    t0z = (row(2) - oz) * iz
+    t1z = (row(5) - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    cand = (tn <= tf) & (tf >= mint) & (tn <= maxt) & live
+    w = n_tt_pad // 16
+    # pack 16 tiles/word with one (TILE_N, n_tt_pad) x (n_tt_pad, w)
+    # matmul: P[j, j//16] = 2^(15 - j%16); sums < 2^16 are exact in f32
+    tile_i = jax.lax.broadcasted_iota(jnp.int32, (n_tt_pad, w), 0)
+    word_i = jax.lax.broadcasted_iota(jnp.int32, (n_tt_pad, w), 1)
+    weight = jnp.exp2((15 - (tile_i % 16)).astype(jnp.float32))
+    P = jnp.where(tile_i // 16 == word_i, weight, 0.0)
+    out_ref[:, :] = jax.lax.dot_general(
+        cand.astype(jnp.float32), P, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def lane_mask_words(tile_bounds, rays_packed):
+    """(N, ceil(n_tt/32)) int32 exact candidate bitmasks per lane
+    (MSB-first within each word, word 0 = lowest tile indices).  The
+    wavefront sorts lanes lexicographically by these words so lanes
+    with identical/similar candidate sets share ray tiles (measured on
+    the 51.7k-tri living room: 3.9x fewer swept pairs than a
+    morton+octant key).  jnp fallback off-TPU."""
+    _, N = rays_packed.shape
+    n_tt = tile_bounds.shape[0]
+    n_tt_pad = -(-n_tt // 128) * 128
+    w16 = n_tt_pad // 16
+    if jax.default_backend() == "cpu" or N % TILE_N:
+        o = rays_packed[0:3].T.reshape(N, 1, 3)
+        dv = rays_packed[3:6].T.reshape(N, 1, 3)
+        mint = rays_packed[6].reshape(N, 1)
+        maxt = rays_packed[7].reshape(N, 1)
+        inv = 1.0 / jnp.where(jnp.abs(dv) < 1e-20,
+                              jnp.where(dv < 0, -1e-20, 1e-20), dv)
+        t0 = (tile_bounds[None, :, 0:3] - o) * inv
+        t1 = (tile_bounds[None, :, 3:6] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), -1)
+        tf = jnp.min(jnp.maximum(t0, t1), -1)
+        cand = ((tn <= tf) & (tf >= mint) & (tn <= maxt)
+                & (mint <= maxt))
+        pad = jnp.zeros((N, n_tt_pad - n_tt), bool)
+        cand = jnp.concatenate([cand, pad], axis=1)
+        h16 = jnp.sum(
+            cand.reshape(N, w16, 16).astype(jnp.int32)
+            * (1 << (15 - jnp.arange(16, dtype=jnp.int32)))[None, None],
+            axis=2,
+        )
+    else:
+        tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
+        tb = tb.at[:, 3:6].set(-jnp.inf)
+        tb = tb.at[:n_tt].set(tile_bounds)
+        n_rt = N // TILE_N
+        out = pl.pallas_call(
+            functools.partial(_lane_mask_kernel, n_tt_pad=n_tt_pad),
+            grid=(n_rt,),
+            in_specs=[
+                pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TILE_N), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_N, w16), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, w16), jnp.float32),
+        )(tb.T, rays_packed)
+        h16 = out.astype(jnp.int32)
+    # fuse 16-bit halves into int32 words (MSB half = lower tiles)
+    return (h16[:, 0::2] << 16) | h16[:, 1::2]
+
+
 def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
     """Per-ray-tile candidate list: slab-test every lane against every
     FINE_T-tile AABB, reduce to the per-(ray tile, tri tile) minimum
@@ -384,6 +574,12 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
     rays_packed is (8, N).
     Returns (entry_rt, tile_order, entry_sorted), each (n_rt, n_tt).
     """
+    if tile_n == TILE_N and rays_packed.shape[1] % TILE_N == 0 \
+            and jax.default_backend() != "cpu":
+        entry_rt = _entry_min_pallas(tile_bounds, rays_packed, tile_n)
+        tile_order = jnp.argsort(entry_rt, axis=1)
+        entry_sorted = jnp.take_along_axis(entry_rt, tile_order, axis=1)
+        return entry_rt, tile_order, entry_sorted
     _, N = rays_packed.shape
     n_rt = N // tile_n
     o = rays_packed[0:3].T.reshape(n_rt, tile_n, 1, 3)

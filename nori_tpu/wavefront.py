@@ -310,14 +310,17 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         # crosses the permutation as one packed matrix: a single fused
         # gather.
         #
-        # Key choice (measured on the pa5 scenes): for scenes whose
-        # tri-tile count fits the key budget, the key IS the lane's
-        # candidate-tile bitmask (slab test vs every FINE_T-tile AABB)
-        # — lanes with identical candidate sets become adjacent, taking
-        # cbox bounce sweeps from 2.2k to 0.59k pairs/ray.  For larger
-        # scenes tiles are small relative to ray extents and the
-        # (origin morton, direction octant) key is already near the
-        # per-ray ideal (table: union 3.3 vs ideal 3.1 tiles).
+        # Key choice (measured on dumped bounce-ray distributions): the
+        # key is the lane's EXACT candidate-tile bitmask — lanes with
+        # identical or similar candidate sets become adjacent.  Small
+        # scenes (<= 28 tiles) fit the mask in one int32 key computed
+        # with cheap jnp slab tests (cbox: 2.2k -> 0.59k pairs/ray).
+        # Bigger scenes compare the mask words LEXICOGRAPHICALLY
+        # (multi-operand sort; masks from a Pallas kernel since the
+        # jnp form materializes (N, n_tt, 3) broadcasts in HBM) — on
+        # the 51.7k-tri living room this beats a morton+octant key
+        # 3.9x (938 vs 3701 pairs/ray; hierarchical first-tile keys
+        # measured useless at 4102).
         n_tt_s = int(sd.tri_tile_bounds.shape[0])
         if sort_rays and n_tt_s <= 28:
             invd = 1.0 / jnp.where(
@@ -338,32 +341,36 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 jnp.int32(n_tt_s - 1)
                 - jnp.arange(n_tt_s, dtype=jnp.int32))
             skey = jnp.sum(jnp.where(cand, bits[None, :], 0), axis=1)
+            key = jnp.where(
+                done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
+            perm = jnp.argsort(key)
         elif sort_rays:
-            span = jnp.maximum(sd.bbox_max - sd.bbox_min, 1e-12)
-            cell = jnp.clip(
-                ((o - sd.bbox_min) / span * 64.0).astype(jnp.int32), 0, 63
-            )
-            mx, my, mz = cell[:, 0], cell[:, 1], cell[:, 2]
+            # Bigger scenes: a full lexicographic word comparison would
+            # reach the 938 ideal but costs a multi-operand sort whose
+            # XLA compile time explodes (measured ~20 min); HASHING the
+            # exact mask into one int32 key groups identical candidate
+            # sets (not merely similar ones) and still gets 1928
+            # pairs/ray with the same cheap single-key argsort.
+            from nori_tpu.accel.pallas_mt import (
+                lane_mask_words, pack_rays)
 
-            def _spread(b):
-                b = (b | (b << 16)) & 0x030000FF
-                b = (b | (b << 8)) & 0x0300F00F
-                b = (b | (b << 4)) & 0x030C30C3
-                b = (b | (b << 2)) & 0x09249249
-                return b
-
-            morton = _spread(mx) | (_spread(my) << 1) | (_spread(mz) << 2)
-            octant = (
-                (d[:, 0] > 0).astype(jnp.int32)
-                + 2 * (d[:, 1] > 0).astype(jnp.int32)
-                + 4 * (d[:, 2] > 0).astype(jnp.int32)
-            )
-            skey = (morton << 3) | octant
+            rays_p, _ = pack_rays(o, d, mint, maxt)
+            words = lane_mask_words(sd.tri_tile_bounds, rays_p)[:N]
+            h = jnp.zeros((N,), jnp.uint32)
+            for k in range(words.shape[1]):
+                h = (h * jnp.uint32(2654435761)) ^ (
+                    words[:, k].astype(jnp.uint32)
+                    * jnp.uint32(2 * (37 + 101 * k) + 1))
+            # clear the top bits so KEY_IDLE/KEY_DONE still order last
+            skey = (h >> 3).astype(jnp.int32)
+            key = jnp.where(
+                done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
+            perm = jnp.argsort(key)
         else:
-            skey = jnp.zeros((N,), jnp.int32)
-        key = jnp.where(
-            done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
-        perm = jnp.argsort(key)
+            key = jnp.where(
+                done, KEY_DONE,
+                jnp.where(active, jnp.int32(0), KEY_IDLE))
+            perm = jnp.argsort(key)
         m = _pack_state(st, rec_q, rec_l)[perm]
         st = _unpack_state(m, q0)
         window = m[::-1, 19:23]
