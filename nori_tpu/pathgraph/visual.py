@@ -97,3 +97,52 @@ def phase_grid(g, phases: dict, out_path: str, exposure: float = 1.0):
     fig.savefig(out_path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def main(argv=None):
+    """CLI: offline equivalents of the interactive viewer's
+    interactions (src/visual.cpp:146-778) — load a dump, render the
+    cloud, pick pixels, toggle phases.
+
+      python -m nori_tpu.pathgraph.visual <dump-prefix>
+          [--pick X Y] [--phases] [--exposure E] [-o OUTBASE]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="pathgraph-visual")
+    ap.add_argument("base", help="dump prefix (see pathgraph.pg)")
+    ap.add_argument("--pick", nargs=2, type=int, metavar=("X", "Y"),
+                    help="draw the light paths of one pixel "
+                         "(the viewer's click-to-pick)")
+    ap.add_argument("--phases", action="store_true",
+                    help="phase-toggle grid (eLi / eLd / emission)")
+    ap.add_argument("--exposure", type=float, default=1.0)
+    ap.add_argument("-o", "--output", default=None,
+                    help="output basename (default: dump prefix)")
+    args = ap.parse_args(argv)
+
+    from nori_tpu.pathgraph.io import load_path_graph
+
+    g = load_path_graph(args.base)
+    out = args.output or args.base
+    written = []
+    eli = np.asarray(g.sps["eLi"])
+    written.append(point_cloud(
+        g, eli, out + "_cloud.png", exposure=args.exposure,
+        title="shading points (eLi)"))
+    if args.pick:
+        written.append(path_polyline(
+            g, args.pick[0], args.pick[1], out + "_pick.png"))
+    if args.phases:
+        written.append(phase_grid(g, {
+            "eLi": eli,
+            "eLd": np.asarray(g.sps["eLd"]),
+            "L_em": np.asarray(g.lps["L_em"]),
+        }, out + "_phases.png", exposure=args.exposure))
+    for w in written:
+        print(f"wrote {w}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

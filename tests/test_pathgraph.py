@@ -245,3 +245,16 @@ def test_analysis_jacobi_and_merge(tmp_path):
     m = merge_exrs([str(tmp_path / "a.exr"), str(tmp_path / "b.exr")])
     assert np.allclose(m, (a + bimg) / 2, atol=1e-6)
     assert rmse(a, a) == 0.0
+
+
+def test_visual_cli(small_graph, tmp_path):
+    """Offline viewer CLI: cloud + pixel pick + phase grid
+    (src/visual.cpp interactions)."""
+    g, _ = small_graph
+    base = str(tmp_path / "vz")
+    save_path_graph(base, g)
+    from nori_tpu.pathgraph import visual
+    rc = visual.main([base, "--pick", "16", "16", "--phases"])
+    assert rc == 0
+    for suffix in ("_cloud.png", "_pick.png", "_phases.png"):
+        assert os.path.getsize(base + suffix) > 0
