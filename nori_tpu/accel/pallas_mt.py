@@ -795,19 +795,3 @@ def pack_rays(o, d, mint, maxt, pad_to: int = TILE_N):
         filler = filler.at[7, :].set(-1.0)
         packed = jnp.concatenate([packed, filler], axis=1)
     return packed, N
-
-
-def pack_rays_rows(o, d, mint, maxt, pad_to: int = TILE_N):
-    """(N,3)x2 + (N,)x2 -> (Npad, 8) row-major [o|d|mint|maxt] with
-    never-hitting padded rays (the resident kernel's layout)."""
-    N = o.shape[0]
-    npad = (-N) % pad_to
-    packed = jnp.concatenate(
-        [o, d, mint[:, None], maxt[:, None]], axis=1
-    )
-    if npad:
-        filler = jnp.zeros((npad, 8), packed.dtype)
-        filler = filler.at[:, 6].set(1.0)   # mint > maxt: nothing hits
-        filler = filler.at[:, 7].set(-1.0)
-        packed = jnp.concatenate([packed, filler], axis=0)
-    return packed, N
