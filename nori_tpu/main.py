@@ -25,13 +25,17 @@ def main(argv=None):
     ap.add_argument("--checkpoint", action="store_true",
                     help="dump/resume render state at <out>.ckpt after "
                          "every chunk (path-family integrators)")
+    ap.add_argument("--exposure", type=float, default=0.0,
+                    help="EXR viewer mode: scale by 2^exposure before "
+                         "the sRGB tonemap (the GUI slider, "
+                         "src/gui.cpp:36-42)")
     args = ap.parse_args(argv)
 
     ext = os.path.splitext(args.input)[1].lower()
     if ext == ".exr":
         from nori_tpu.bitmap import read_exr, write_png
 
-        img = read_exr(args.input)
+        img = read_exr(args.input) * (2.0 ** args.exposure)
         out = args.output or os.path.splitext(args.input)[0]
         write_png(out + ".png", img)
         print(f"Wrote {out}.png")
