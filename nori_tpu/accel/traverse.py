@@ -243,7 +243,31 @@ def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
             scene.tri_tile_bounds, scene.scene_bounds,
             rays, any_hit=any_hit, use_mxu=use_mxu,
         )
-        u = v = jnp.zeros_like(t)
+        # the resident kernel tracks only (t, idx); reconstruct the
+        # winning triangle's barycentrics with one Moller-Trumbore per
+        # RAY (a gather of the winner + ~30 flops — negligible next to
+        # the sweep).  Consumers of Hit.u/v (fill_interaction, whitted/
+        # ao dumps) rely on them.  Shadow queries need none of it.
+        if any_hit:
+            u = v = jnp.zeros_like(t)
+            return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n],
+                       u=u[:n], v=v[:n])
+        tri = jnp.maximum(idx, 0)
+        v0w = scene.tri_v0[tri]
+        e1w = scene.tri_e1[tri]
+        e2w = scene.tri_e2[tri]
+        ow = rays[0:3].T
+        dw = rays[3:6].T
+        pv = jnp.cross(dw, e2w)
+        det = jnp.sum(e1w * pv, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        tv = ow - v0w
+        u = jnp.clip(jnp.sum(tv * pv, axis=-1) * inv_det, 0.0, 1.0)
+        qv = jnp.cross(tv, e1w)
+        v = jnp.clip(jnp.sum(dw * qv, axis=-1) * inv_det, 0.0, 1.0)
+        miss = idx < 0
+        u = jnp.where(miss, 0.0, u)
+        v = jnp.where(miss, 0.0, v)
     else:
         t, idx, u, v = mt_sweep(
             scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,

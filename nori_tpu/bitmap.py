@@ -162,8 +162,22 @@ def _pxr24_encode(raw: bytes, channels, width: int, nlines: int) -> bytes:
         for name, ptype, dt in channels:
             k = _pxr24_planes(ptype)
             if ptype == _PXTYPE_FLOAT:
-                pix = np.frombuffer(raw, "<u4", width, pos).astype(
-                    np.uint32) >> 8
+                # floatToFloat24 semantics: round-half-to-even at the
+                # dropped byte, clamp so rounding cannot overflow into
+                # Inf, preserve Inf, keep NaN a NaN (nonzero mantissa)
+                i = np.frombuffer(raw, "<u4", width, pos).astype(
+                    np.uint64)
+                s = i & 0x80000000
+                e = i & 0x7F800000
+                m = i & 0x007FFFFF
+                special = e == 0x7F800000
+                spec24 = (s | e | np.where(m != 0, 0x007FFFFF, 0)
+                          .astype(np.uint64)) >> 8
+                r = i + 0x7F + ((i >> 8) & 1)
+                overflow = (r & 0x7F800000) == 0x7F800000
+                r = np.where(overflow & ~special, s | 0x7F7FFFFF, r) \
+                    .astype(np.uint64)
+                pix = np.where(special, spec24, r >> 8).astype(np.uint32)
                 pos += 4 * width
             elif ptype == _PXTYPE_HALF:
                 pix = np.frombuffer(raw, "<u2", width, pos).astype(
@@ -261,8 +275,7 @@ def _b44_decode(data: bytes, channels, width: int, nlines: int) -> bytes:
             s = np.uint16(v)
             s = (s & 0x7FFF) if (s & 0x8000) else ((~s) & 0xFFFF)
             blocks[bi, :] = s
-        # scatter 4x4 blocks into the (padded) channel image
-        img = np.zeros((nby * 4, nbx * 4), np.uint16)
+        # lay the 4x4 blocks out as the (padded) channel image
         b4 = blocks.reshape(nby, nbx, 4, 4)
         img = b4.transpose(0, 2, 1, 3).reshape(nby * 4, nbx * 4)
         planes.append(

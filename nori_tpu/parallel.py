@@ -209,8 +209,12 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
                              verbose: bool = False):
     """Full multi-device persistent-wavefront render.
 
-    Returns ((H, W, 3) numpy image, stats).  Bit-identical to
-    render_wavefront(scene, chunk=chunk_dev, ...) on one device.
+    Returns ((H, W, 3) numpy image, stats).  Bit-identical across
+    repeat runs and any permutation of the device assignment (same
+    compiled program); agrees with a single-device
+    render_wavefront(scene, chunk=chunk_dev, ...) to float-ulp scale
+    (different XLA partitionings may fuse float math differently — see
+    tests/test_parallel_wavefront.py).
     """
     import time
 

@@ -31,7 +31,8 @@ TRI_PAD = 512  # triangle padding granularity (LCM of sweep-kernel tiles)
 
 
 def _build_tri_mxu(v0, e1, e2, n_tris):
-    """(10, 4*T) Moller-Trumbore weight matrix for the MXU sweep.
+    """(16, 4*T) Moller-Trumbore weight matrix for the MXU sweep
+    (10 live feature rows padded to 16 for MXU-friendly K).
 
     Ray features F = [o(3), d(3), (o x d)(3), 1]; per triangle the four
     output columns reconstruct (equivalently to src/mesh.cpp:51-88):
@@ -93,9 +94,9 @@ class SceneData(NamedTuple):
     tri_packed: jnp.ndarray  # (9, T) [v0|e1|e2] layout for the MT sweep kernel
     # MXU form of Moller-Trumbore: per FINE_T tile, 4 column blocks
     # [det | u_num | v_num | t_num]; ray features [o, d, o x d, 1]
-    # (10) contract against these on the systolic array, leaving only
-    # the ratio/compare epilogue on the VPU
-    tri_mxu: jnp.ndarray   # (10, 4*T)
+    # (10, K-padded to 16) contract against these on the systolic
+    # array, leaving only the ratio/compare epilogue on the VPU
+    tri_mxu: jnp.ndarray   # (16, 4*T)
     tri_tile_bounds: jnp.ndarray  # (T/FINE_T, 8) per-tile AABBs for culling
     scene_bounds: jnp.ndarray  # (1, 8) [center xyz, half-diag, ...]
 

@@ -30,7 +30,7 @@ once, so after the chunk drains the log holds each sample exactly once
 and ONE argsort by q restores sample order for the film splat.
 
 State travels through the per-step coherence sort as a single packed
-(N, 21) matrix — one fused gather instead of 12 row gathers (2.9x).
+(N, 23) matrix — one fused gather instead of 12 row gathers (2.9x).
 
 Determinism: lanes key the counter-based RNG by global sample id, so
 results are independent of lane scheduling, batching and device count.
@@ -552,16 +552,26 @@ def make_dense_splat(scene, chunk: int):
 
 def _checkpoint_key(scene, spp, seed, chunk):
     """Digest identifying a render configuration; a checkpoint only
-    resumes when it matches (scene geometry + camera + sampling)."""
+    resumes when everything that affects sample values matches:
+    geometry, materials/emitters, the full camera projection, the
+    reconstruction filter, integrator and sampling config."""
     import hashlib
 
     sd = scene.compile()
     h = hashlib.sha256()
     h.update(np.asarray(sd.tri_v0).tobytes())
-    h.update(np.asarray(scene.camera.ray_params()["camera_to_world"])
+    h.update(np.asarray(sd.mesh_attr).tobytes())   # BSDFs + radiance
+    h.update(np.asarray(sd.em_attr).tobytes())
+    cp = scene.camera.ray_params()
+    h.update(np.asarray(cp["camera_to_world"]).tobytes())
+    h.update(np.asarray(cp["sample_to_camera"]).tobytes())
+    h.update(scene.integrator.plugin_name.encode())
+    h.update(np.float32(getattr(scene.camera.rfilter, "radius", 0.0))
              .tobytes())
     w, hh = scene.camera.output_size
-    h.update(np.asarray([w, hh, spp, seed, chunk], np.int64).tobytes())
+    max_depth = getattr(scene.integrator, "max_depth", MAX_DEPTH)
+    h.update(np.asarray([w, hh, spp, seed, chunk, max_depth],
+                        np.int64).tobytes())
     return h.hexdigest()
 
 

@@ -110,3 +110,74 @@ def test_mxu_sweep_matches_plain():
     t0, t1 = np.asarray(t0), np.asarray(t1)
     assert np.max(np.abs(t0[same] - t1[same])
                   / np.maximum(t0[same], 1e-3)) < 1e-4
+
+
+def test_pallas_hit_barycentrics_match_scan():
+    """Regression: the resident sweep must return real (u, v) — legacy
+    consumers (fill_interaction, whitted/ao, dump tracer) interpolate
+    position/uv/normals from them."""
+    import jax.numpy as jnp
+    from nori_tpu import config
+    from nori_tpu.accel.traverse import intersect
+    from nori_tpu.scenes_builtin import cornell_box
+
+    scene = cornell_box(width=16, height=16, spp=1, sphere_subdiv=2)
+    sd = scene.compile()
+    rs = np.random.RandomState(5)
+    N = 512
+    o = (np.array([0, 1, 0], np.float32)
+         + rs.randn(N, 3).astype(np.float32) * 0.4)
+    d = rs.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    args = (jnp.asarray(o), jnp.asarray(d),
+            jnp.full(N, 1e-4, jnp.float32), jnp.full(N, 1e30, jnp.float32))
+    prev = config.accel_mode
+    try:
+        config.accel_mode = "pallas"
+        hp = intersect(sd, *args)
+        config.accel_mode = "scan"
+        hs = intersect(sd, *args)
+    finally:
+        config.accel_mode = prev
+    hp_tri, hs_tri = np.asarray(hp.tri), np.asarray(hs.tri)
+    same = (hp_tri == hs_tri) & (hp_tri >= 0)
+    assert same.sum() > 0.5 * N
+    for a, b in ((hp.u, hs.u), (hp.v, hs.v), (hp.t, hs.t)):
+        assert np.allclose(np.asarray(a)[same], np.asarray(b)[same],
+                           rtol=1e-3, atol=1e-4)
+
+
+def test_streamed_sweep_matches_resident():
+    """The 2-D streamed kernel (mt_sweep, used when the soup exceeds
+    the resident VMEM budget or accel is forced) agrees with the
+    resident kernel."""
+    import jax.numpy as jnp
+    from nori_tpu.scenes_builtin import cornell_box
+    from nori_tpu.accel.pallas_mt import (
+        mt_sweep, mt_sweep_resident, pack_rays)
+
+    scene = cornell_box(width=16, height=16, spp=1, sphere_subdiv=2)
+    sd = scene.compile()
+    rs = np.random.RandomState(7)
+    N = 512
+    o = (np.array([0, 1, 0], np.float32)
+         + rs.randn(N, 3).astype(np.float32) * 0.4)
+    d = rs.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays, n = pack_rays(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.full(N, 1e-4, jnp.float32), jnp.full(N, 1e30, jnp.float32))
+    t0, i0 = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rays)
+    t1, i1, u1, v1 = mt_sweep(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rays)
+    i0, i1 = np.asarray(i0), np.asarray(i1)
+    assert np.array_equal(i0, i1)
+    hit = i0 >= 0
+    assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
+                       rtol=1e-6)
+    # any-hit form of the streamed kernel
+    ta, ia, _, _ = mt_sweep(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rays,
+        any_hit=True)
+    assert np.array_equal(np.asarray(ia) >= 0, hit)
