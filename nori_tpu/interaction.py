@@ -69,23 +69,16 @@ def fill_interaction_fast(scene, hit: Hit, o, d) -> Interaction:
     """One-gather interaction fill for the hot wavefront path.
 
     Reads the packed (T, 28) attribute table (SceneData.tri_attr) in a
-    single row gather.  Barycentrics are recomputed here from the
-    winning triangle's v0|e1|e2 row (one Möller–Trumbore per RAY) so
-    the sweep kernel only has to track (t, idx) — that halves its
-    per-visit epilogue reductions.
+    single row gather.  Barycentrics come from the Hit record (the
+    sweep kernel tracks only (t, idx); the intersect() epilogue
+    reconstructs (u, v) once for all consumers); the hit point is
+    reconstructed from the winning triangle's v0|e1|e2 row, which is
+    sturdier than o + t*d for grazing shadow epsilons.
     """
     tri = jnp.maximum(hit.tri, 0)
     a = scene.tri_attr[tri]                       # (N, 28)
     v0r, e1r, e2r = a[:, 19:22], a[:, 22:25], a[:, 25:28]
-    pv = jnp.cross(d, e2r)
-    det = jnp.sum(e1r * pv, axis=-1)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    tv = o - v0r
-    u = jnp.sum(tv * pv, axis=-1) * inv_det
-    qv = jnp.cross(tv, e1r)
-    v = jnp.sum(d * qv, axis=-1) * inv_det
-    u = jnp.clip(u, 0.0, 1.0)
-    v = jnp.clip(v, 0.0, 1.0)
+    u, v = hit.u, hit.v
     b0 = 1.0 - u - v
     p = v0r + u[:, None] * e1r + v[:, None] * e2r
     p = jnp.where(hit.valid[:, None], p, o + hit.t[:, None] * d)
