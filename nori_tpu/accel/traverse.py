@@ -253,9 +253,10 @@ def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
             return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n],
                        u=u[:n], v=v[:n])
         tri = jnp.maximum(idx, 0)
-        v0w = scene.tri_v0[tri]
-        e1w = scene.tri_e1[tri]
-        e2w = scene.tri_e2[tri]
+        # ONE fused row gather (XLA TPU pays ~per-row): tri_attr
+        # carries v0|e1|e2 in cols 19:28
+        aw = scene.tri_attr[tri]
+        v0w, e1w, e2w = aw[:, 19:22], aw[:, 22:25], aw[:, 25:28]
         ow = rays[0:3].T
         dw = rays[3:6].T
         pv = jnp.cross(dw, e2w)
