@@ -29,7 +29,8 @@ _LINES_PER_BLOCK = {_COMP_NONE: 1, _COMP_RLE: 1, _COMP_ZIPS: 1,
                     _COMP_ZIP: 16, _COMP_PIZ: 32, _COMP_PXR24: 16,
                     _COMP_B44: 32, _COMP_B44A: 32}
 _COMP_NAMES = {"none": _COMP_NONE, "rle": _COMP_RLE, "zips": _COMP_ZIPS,
-               "zip": _COMP_ZIP, "piz": _COMP_PIZ, "pxr24": _COMP_PXR24}
+               "zip": _COMP_ZIP, "piz": _COMP_PIZ, "pxr24": _COMP_PXR24,
+               "b44": _COMP_B44, "b44a": _COMP_B44A}
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +289,137 @@ def _b44_decode(data: bytes, channels, width: int, nlines: int) -> bytes:
     return bytes(out)
 
 
+#: B44 delta edges in bitstream order: (predecessor, successor) pixel
+#: indices within the row-major 4x4 block.  Stream order is a valid
+#: topological order (every predecessor is quantized before its
+#: successors), which makes the sequential quantization below exact.
+_B44_EDGES = [
+    (0, 4), (4, 8), (8, 12),
+    (0, 1), (4, 5), (8, 9), (12, 13),
+    (1, 2), (5, 6), (9, 10), (13, 14),
+    (2, 3), (6, 7), (10, 11), (14, 15),
+]
+
+
+def _b44_pack14(t: np.ndarray) -> np.ndarray:
+    """(K, 16) transformed uint16 4x4 blocks -> (K, 14) uint8 B44.
+
+    The inverse of _b44_unpack14's bitstream: s[0] (16 bits) | shift
+    (6 bits) | 15 running 6-bit deltas, each decoded as
+    s[succ] = s[pred] + (d - 0x20) << shift.  The quantization is
+    sequential (each delta measured against the QUANTIZED
+    predecessor), so reconstruction error never accumulates past
+    +-(1 << shift) / 2 per value; shift is raised per block until all
+    quantized deltas fit the signed 6-bit range.
+    """
+    K = t.shape[0]
+    ti = t.astype(np.int64)
+    # smallest shift whose range covers the raw deltas, then verify
+    # under sequential quantization and bump where rounding overflows
+    raw_max = np.zeros((K,), np.int64)
+    for p, s in _B44_EDGES:
+        raw_max = np.maximum(raw_max, np.abs(ti[:, s] - ti[:, p]))
+    shift = np.zeros((K,), np.int64)
+    for _ in range(13):
+        fits = raw_max <= (np.int64(31) << shift)
+        shift = np.where(fits, shift, shift + 1)
+    shift = np.minimum(shift, 12)
+
+    for _ in range(13):
+        rec = np.zeros((K, 16), np.int64)
+        rec[:, 0] = ti[:, 0]
+        dq = np.zeros((K, 15), np.int64)
+        ok = np.ones((K,), bool)
+        half = np.int64(1) << np.maximum(shift - 1, 0)
+        half = np.where(shift > 0, half, 0)
+        for ei, (p, s) in enumerate(_B44_EDGES):
+            ideal = ti[:, s] - rec[:, p]
+            d = (ideal + half) >> shift     # round-to-nearest
+            ok &= (d >= -32) & (d <= 31)
+            d = np.clip(d, -32, 31)
+            v = rec[:, p] + (d << shift)
+            # the decoder wraps mod 2^16; keep rec in range instead
+            over = v > 0xFFFF
+            d = np.where(over, (0xFFFF - rec[:, p]) >> shift, d)
+            under = v < 0
+            d = np.where(under, -(rec[:, p] >> shift), d)
+            d = np.clip(d, -32, 31)
+            rec[:, s] = rec[:, p] + (d << shift)
+            dq[:, ei] = d + 0x20
+        if ok.all():
+            break
+        shift = np.where(ok, shift, np.minimum(shift + 1, 12))
+
+    # bitstream: s0(16) | shift(6) | d1..d15 (6 each) = 112 bits
+    bits = np.zeros((K, 14), np.uint8)
+    bits[:, 0] = (ti[:, 0] >> 8) & 0xFF
+    bits[:, 1] = ti[:, 0] & 0xFF
+    acc = shift.copy()          # running bit accumulator, 6 bits live
+    nacc = np.full((K,), 6, np.int64)
+    out_i = 2
+    for ei in range(15):
+        acc = (acc << 6) | dq[:, ei]
+        nacc = nacc + 6
+        while out_i < 14 and (nacc >= 8).all():
+            nacc -= 8
+            bits[:, out_i] = (acc >> nacc) & 0xFF
+            acc &= (np.int64(1) << nacc) - 1
+            out_i += 1
+    return bits
+
+
+def _b44_transform(h16: np.ndarray) -> np.ndarray:
+    """half bits -> monotonic u16 (ImfB44Compressor convertToLinear):
+    inf/nan flush to 0x8000; negatives complement; positives set the
+    top bit.  Inverse of the final step of _b44_unpack14."""
+    t = np.where(
+        (h16 & 0x7C00) == 0x7C00, np.uint16(0x8000),
+        np.where(h16 & 0x8000, (~h16) & np.uint16(0xFFFF),
+                 h16 | np.uint16(0x8000)))
+    return t.astype(np.uint16)
+
+
+def _b44_encode(raw: bytes, channels, width: int, nlines: int,
+                flat_blocks: bool) -> bytes:
+    """Encode scanline-interleaved raw bytes as B44 (flat_blocks=False)
+    or B44A (3-byte blocks for constant 4x4 tiles).  channels: list of
+    (name, pixel_type_int, numpy dtype); non-HALF channels are stored
+    raw, matching _b44_decode."""
+    bytes_per_px = sum(dt.itemsize for _, _, dt in channels)
+    assert len(raw) == bytes_per_px * width * nlines
+    arr = np.frombuffer(raw, np.uint8).reshape(nlines, -1)
+    out = bytearray()
+    col = 0
+    for name, ptype, dt in channels:
+        n = width * dt.itemsize
+        plane = arr[:, col:col + n]
+        col += n
+        if ptype != _PXTYPE_HALF:
+            out += plane.tobytes()
+            continue
+        h16 = plane.reshape(nlines, width, dt.itemsize)
+        h16 = np.ascontiguousarray(h16).view("<u2")[:, :, 0]
+        t = _b44_transform(h16.astype(np.uint16))
+        # pad to 4x4 multiples by edge replication (flat extensions
+        # compress well and decode crops them away)
+        py = (-nlines) % 4
+        px = (-width) % 4
+        t = np.pad(t, ((0, py), (0, px)), mode="edge")
+        nby, nbx = t.shape[0] // 4, t.shape[1] // 4
+        blocks = (t.reshape(nby, 4, nbx, 4).transpose(0, 2, 1, 3)
+                  .reshape(nby * nbx, 16))
+        packed = _b44_pack14(blocks)
+        flat = np.all(blocks == blocks[:, :1], axis=1) if flat_blocks \
+            else np.zeros((nby * nbx,), bool)
+        for bi in range(nby * nbx):
+            if flat[bi]:
+                v = int(blocks[bi, 0])
+                out += bytes([(v >> 8) & 0xFF, v & 0xFF, 0xFC])
+            else:
+                out += packed[bi].tobytes()
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Reading
 # ---------------------------------------------------------------------------
@@ -423,30 +555,45 @@ def _attr(name: str, atype: str, payload: bytes) -> bytes:
     )
 
 
-def write_exr(filename: str, img: np.ndarray, half: bool = True,
-              compression: str = "zip"):
-    """Write (H, W, 3) linear RGB as a scanline EXR.
+def write_exr_channels(filename: str, channels: dict,
+                       compression: str = "zip"):
+    """Write an arbitrary channel set as a scanline EXR.
 
-    Writes R/G/B channels (stored alphabetically B, G, R per the spec)
-    plus a "comments" attribute like the reference
-    (src/bitmap.cpp:96 "Generated by Nori").  Default is half-float
-    ZIP, matching the reference's OpenEXR output
-    (src/bitmap.cpp:81-108); pass half=False for lossless float32.
-    compression: none | rle | zips | zip | pxr24 | piz.
+    channels: dict name -> (H, W) array.  float16 arrays are stored as
+    HALF, anything else as FLOAT.  Channels are stored in the spec's
+    alphabetical order regardless of dict order.  compression:
+    none | rle | zips | zip | pxr24 | piz | b44 | b44a.  This is the
+    general writer behind write_exr; the reference's Bitmap only ever
+    writes RGB (src/bitmap.cpp:81-108), but its OpenEXR library writes
+    any channel list — this keeps that capability.
     """
-    img = np.asarray(img, dtype=np.float32)
-    if img.ndim != 3 or img.shape[2] != 3:
-        raise NoriError(f"write_exr: expected (H, W, 3), got {img.shape}")
+    if not channels:
+        raise NoriError("write_exr_channels: empty channel set")
     if compression not in _COMP_NAMES:
         raise NoriError(f"write_exr: unknown compression '{compression}'")
     comp_id = _COMP_NAMES[compression]
-    h, w = img.shape[:2]
-    dt = np.dtype(np.float16) if half else np.dtype(np.float32)
-    ptype = _PXTYPE_HALF if half else _PXTYPE_FLOAT
+    names = sorted(channels)
+    planes = []
+    shape = None
+    for n in names:
+        a = np.asarray(channels[n])
+        dt = np.dtype(np.float16) if a.dtype == np.float16 \
+            else np.dtype(np.float32)
+        a = a.astype(dt)
+        if a.ndim != 2:
+            raise NoriError(f"write_exr_channels: '{n}' must be (H, W)")
+        if shape is None:
+            shape = a.shape
+        elif a.shape != shape:
+            raise NoriError("write_exr_channels: mismatched channel shapes")
+        ptype = _PXTYPE_HALF if dt == np.float16 else _PXTYPE_FLOAT
+        planes.append((n, ptype, dt, a))
+    h, w = shape
 
     chlist = b""
-    for cname in (b"B", b"G", b"R"):
-        chlist += cname + b"\x00" + struct.pack("<iB3xii", ptype, 0, 1, 1)
+    for n, ptype, dt, _ in planes:
+        chlist += n.encode("latin-1") + b"\x00" + struct.pack(
+            "<iB3xii", ptype, 0, 1, 1)
     chlist += b"\x00"
 
     header = struct.pack("<ii", _MAGIC, 2)
@@ -461,29 +608,34 @@ def write_exr(filename: str, img: np.ndarray, half: bool = True,
     header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header += b"\x00"
 
-    chan3 = [(n, ptype, dt) for n in ("B", "G", "R")]
+    chan_meta = [(n, ptype, dt) for n, ptype, dt, _ in planes]
     lines_per_block = _LINES_PER_BLOCK[comp_id]
     num_blocks = (h + lines_per_block - 1) // lines_per_block
     chunks = []
     for b in range(num_blocks):
         y0 = b * lines_per_block
         nlines = min(lines_per_block, h - y0)
-        # per scanline: B row, G row, R row
-        rows = img[y0:y0 + nlines][:, :, ::-1]  # BGR
-        raw = np.ascontiguousarray(
-            rows.transpose(0, 2, 1).astype(dt)
-        ).view(np.uint8).ravel()
+        # per scanline: each channel's row, channels in stored order
+        raw = np.concatenate([
+            np.ascontiguousarray(a[y0:y0 + nlines]).view(np.uint8)
+            .reshape(nlines, -1)
+            for _, _, _, a in planes
+        ], axis=1).ravel()
         if comp_id in (_COMP_ZIP, _COMP_ZIPS):
             comp = zlib.compress(_zip_preencode(raw), 6)
         elif comp_id == _COMP_RLE:
             comp = _rle_encode(_zip_preencode(raw))
         elif comp_id == _COMP_PXR24:
-            comp = _pxr24_encode(raw.tobytes(), chan3, w, nlines)
+            comp = _pxr24_encode(raw.tobytes(), chan_meta, w, nlines)
         elif comp_id == _COMP_PIZ:
             from nori_tpu.exr_piz import piz_compress
 
             comp = piz_compress(
-                raw.tobytes(), [(n, dt) for n, _, dt in chan3], w, nlines)
+                raw.tobytes(), [(n, dt) for n, _, dt in chan_meta],
+                w, nlines)
+        elif comp_id in (_COMP_B44, _COMP_B44A):
+            comp = _b44_encode(raw.tobytes(), chan_meta, w, nlines,
+                               flat_blocks=(comp_id == _COMP_B44A))
         else:
             comp = raw.tobytes()
         if len(comp) >= raw.nbytes:
@@ -504,6 +656,28 @@ def write_exr(filename: str, img: np.ndarray, half: bool = True,
         for y0, comp in chunks:
             f.write(struct.pack("<ii", y0, len(comp)))
             f.write(comp)
+
+
+def write_exr(filename: str, img: np.ndarray, half: bool = True,
+              compression: str = "zip"):
+    """Write (H, W, 3) linear RGB as a scanline EXR.
+
+    Writes R/G/B channels (stored alphabetically B, G, R per the spec)
+    plus a "comments" attribute like the reference
+    (src/bitmap.cpp:96 "Generated by Nori").  Default is half-float
+    ZIP, matching the reference's OpenEXR output
+    (src/bitmap.cpp:81-108); pass half=False for lossless float32.
+    compression: none | rle | zips | zip | pxr24 | piz | b44 | b44a.
+    """
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise NoriError(f"write_exr: expected (H, W, 3), got {img.shape}")
+    dt = np.float16 if half else np.float32
+    write_exr_channels(
+        filename,
+        {"R": img[:, :, 0].astype(dt), "G": img[:, :, 1].astype(dt),
+         "B": img[:, :, 2].astype(dt)},
+        compression=compression)
 
 
 def write_png(filename: str, img: np.ndarray):

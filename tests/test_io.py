@@ -48,6 +48,71 @@ def test_exr_compression_roundtrip(tmp_path, comp, half):
         assert np.array_equal(back, want), comp
 
 
+@pytest.mark.parametrize("comp", ["b44", "b44a"])
+def test_exr_b44_encode_roundtrip(tmp_path, comp):
+    # B44 quantizes 4x4 blocks to 6-bit running deltas: lossy, with
+    # per-block error bounded by the block's dynamic range / 62
+    h, w = 37, 53   # exercises edge-replicated partial blocks
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        0.3 + 0.25 * np.sin(xx / 7.0) * np.cos(yy / 5.0),
+        np.abs(yy - h / 2) / h,
+        np.exp(-((xx - 20) ** 2 + (yy - 15) ** 2) / 60.0),
+    ], axis=-1).astype(np.float32)
+    p = str(tmp_path / f"enc_{comp}.exr")
+    write_exr(p, img, half=True, compression=comp)
+    back = read_exr(p)
+    want = img.astype(np.float16).astype(np.float32)
+    assert np.abs(back - want).max() < 4e-3   # smooth blocks: tiny loss
+    # sign handling: negative values survive the half transform.
+    # Sign-straddling blocks span a huge transformed range, so their
+    # shift (and quantization step) is large — inherent to B44, which
+    # only promises accuracy within low-dynamic-range blocks.
+    img2 = np.where(img > 0.4, -img, img).astype(np.float32)
+    write_exr(p, img2, half=True, compression=comp)
+    back2 = read_exr(p)
+    want2 = img2.astype(np.float16).astype(np.float32)
+    assert np.abs(back2 - want2).max() < 0.5
+    # most pixels sit in single-sign blocks and stay accurate
+    assert np.median(np.abs(back2 - want2)) < 4e-3
+
+
+def test_exr_b44a_encode_flat_compression(tmp_path):
+    # constant 4x4 blocks become 3-byte B44A blocks: smaller file,
+    # exact round-trip
+    flat = np.full((64, 48, 3), 0.25, np.float32)
+    pa = str(tmp_path / "fa.exr")
+    pb = str(tmp_path / "fb.exr")
+    write_exr(pa, flat, compression="b44a")
+    write_exr(pb, flat, compression="b44")
+    import os
+    assert os.path.getsize(pa) * 3 < os.path.getsize(pb)
+    assert np.array_equal(read_exr(pa), flat)
+
+
+def test_exr_channel_subset_writer(tmp_path):
+    # write_exr_channels: arbitrary channel names/subsets, mixed
+    # half/float, stored alphabetically; read_exr picks out R/G/B
+    from nori_tpu.bitmap import write_exr_channels
+
+    rng = np.random.RandomState(7)
+    h, w = 21, 17
+    img = (rng.rand(h, w, 3) * 4).astype(np.float32)
+    chans = {
+        "R": img[:, :, 0].astype(np.float16),
+        "G": img[:, :, 1].astype(np.float16),
+        "B": img[:, :, 2].astype(np.float16),
+        "A": np.ones((h, w), np.float16),
+        "Z": 1.0 + rng.rand(h, w).astype(np.float32),   # FLOAT depth
+    }
+    p = str(tmp_path / "chans.exr")
+    for comp in ("none", "zip", "piz", "pxr24"):
+        write_exr_channels(p, chans, compression=comp)
+        back = read_exr(p)
+        want = img.astype(np.float16).astype(np.float32)
+        assert np.array_equal(back, want), comp
+
+
 def test_exr_b44a_flat_blocks(tmp_path):
     # hand-built B44A file: every 4x4 block is a flat 3-byte block
     # (ImfB44Compressor pack3/unpack3 semantics)
