@@ -119,7 +119,14 @@ def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
                            sort_rays: bool | None = None,
                            check_every: int = 16,
                            axis: str = "batch"):
-    """Build (init, steps, n_active, films) jitted sharded functions.
+    """Build the sharded wavefront function set.
+
+    Returns (init, steps, n_active, films, shrink, small_steps,
+    small_n_active, small_films) — the same shape as the single-device
+    steppers tuple (wavefront.run_chunk): once every device's active
+    count fits the SHRINK_FACTOR-x smaller pool, `shrink` packs each
+    shard in lockstep (SPMD: all devices switch together) so the drain
+    tail pays narrow sweeps instead of full-width ones.
 
     The carry is the single-device wavefront carry with every array
     sharded on its leading axis over `mesh` (scalars lifted to
@@ -129,7 +136,8 @@ def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
     folded in device order).
     """
     from nori_tpu.wavefront import (
-        make_wavefront_stepper, make_dense_splat, MAX_DEPTH)
+        make_wavefront_stepper, make_dense_splat, make_shrink,
+        MAX_DEPTH, SHRINK_FACTOR)
 
     if max_depth is None:
         max_depth = MAX_DEPTH
@@ -137,14 +145,25 @@ def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
     assert chunk_dev % spp == 0, "chunk_dev must be pixel-aligned"
     init, step, n_act, finalize = make_wavefront_stepper(
         scene, mode, n_lanes_dev, chunk_dev, max_depth, sort_rays)
+    n_small = max(1024, n_lanes_dev // SHRINK_FACTOR)
+    have_small = n_small < n_lanes_dev
+    if have_small:
+        shrink = make_shrink(n_lanes_dev, n_small)
+        _, small_step, small_n_act, _ = make_wavefront_stepper(
+            scene, mode, n_small, chunk_dev, max_depth, sort_rays)
     new_film, splat_chunk, film_final = make_dense_splat(scene, chunk_dev)
     n_dev = mesh.devices.size
 
-    # a structure reference for lift/unlift (host-side, tiny)
+    # structure references for lift/unlift (host-side, tiny)
     carry_ref = jax.eval_shape(
         init, jnp.uint32(0), jnp.uint32(0), jnp.uint32(chunk_dev))
     carry_specs = jax.tree.map(
         lambda r: P(axis), _lift_shapes(carry_ref))
+    if have_small:
+        small_ref = jax.eval_shape(
+            lambda c: shrink(c), carry_ref)
+        small_specs = jax.tree.map(
+            lambda r: P(axis), _lift_shapes(small_ref))
 
     def init_body(seed, q0s, q_endg):
         # per-device start q arrives as a sharded (1,) input (NOT via
@@ -153,24 +172,31 @@ def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
         # bit-identity across device counts)
         return _lift(init(seed, q0s[0], q_endg))
 
-    def steps_body(sd, carry_l, seed):
-        carry = _unlift(carry_l, carry_ref)
-        for _ in range(check_every):
-            carry = step(sd, carry, seed)
-        return _lift(carry)
+    def make_steps_body(step_fn, ref):
+        def steps_body(sd, carry_l, seed):
+            carry = _unlift(carry_l, ref)
+            for _ in range(check_every):
+                carry = step_fn(sd, carry, seed)
+            return _lift(carry)
+        return steps_body
 
-    def n_active_body(carry_l):
-        carry = _unlift(carry_l, carry_ref)
-        return n_act(carry)[None]
+    def make_n_active_body(n_act_fn, ref):
+        def n_active_body(carry_l):
+            carry = _unlift(carry_l, ref)
+            return n_act_fn(carry)[None]
+        return n_active_body
 
-    def films_body(carry_l, seed):
-        carry = _unlift(carry_l, carry_ref)
-        st, _nq, records, _wc, rays, q_hi = carry
-        q0_d = st["q0"]
-        L_out = finalize(records, q0_d)
-        part = splat_chunk(new_film(), L_out, seed, q0_d,
-                           jnp.minimum(q_hi, q0_d + jnp.uint32(chunk_dev)))
-        return part[None], rays[None]
+    def make_films_body(ref):
+        def films_body(carry_l, seed):
+            carry = _unlift(carry_l, ref)
+            st, _nq, records, _wc, rays, q_hi = carry
+            q0_d = st["q0"]
+            L_out = finalize(records, q0_d)
+            part = splat_chunk(
+                new_film(), L_out, seed, q0_d,
+                jnp.minimum(q_hi, q0_d + jnp.uint32(chunk_dev)))
+            return part[None], rays[None]
+        return films_body
 
     rep = dict(check_rep=False)
     _init_inner = jax.jit(shard_map(
@@ -181,18 +207,39 @@ def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
         q0s = q0 + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(
             chunk_dev)
         return _init_inner(seed, q0s, q_end)
-    sharded_steps = jax.jit(shard_map(
-        steps_body, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(), scene.compile()),
-                  carry_specs, P()),
-        out_specs=carry_specs, **rep), donate_argnums=(1,))
-    sharded_n_active = jax.jit(shard_map(
-        n_active_body, mesh=mesh, in_specs=(carry_specs,),
-        out_specs=P(axis), **rep))
-    sharded_films = jax.jit(shard_map(
-        films_body, mesh=mesh, in_specs=(carry_specs, P()),
-        out_specs=(P(axis), P(axis)), **rep))
-    return sharded_init, sharded_steps, sharded_n_active, sharded_films
+
+    sd_specs = jax.tree.map(lambda _: P(), scene.compile())
+
+    def build(step_fn, n_act_fn, ref, specs):
+        steps = jax.jit(shard_map(
+            make_steps_body(step_fn, ref), mesh=mesh,
+            in_specs=(sd_specs, specs, P()),
+            out_specs=specs, **rep), donate_argnums=(1,))
+        nact = jax.jit(shard_map(
+            make_n_active_body(n_act_fn, ref), mesh=mesh,
+            in_specs=(specs,), out_specs=P(axis), **rep))
+        films = jax.jit(shard_map(
+            make_films_body(ref), mesh=mesh, in_specs=(specs, P()),
+            out_specs=(P(axis), P(axis)), **rep))
+        return steps, nact, films
+
+    sharded_steps, sharded_n_active, sharded_films = build(
+        step, n_act, carry_ref, carry_specs)
+    if have_small:
+        def shrink_body(carry_l):
+            return _lift(shrink(_unlift(carry_l, carry_ref)))
+
+        sharded_shrink = jax.jit(shard_map(
+            shrink_body, mesh=mesh, in_specs=(carry_specs,),
+            out_specs=small_specs, **rep))
+        small_steps, small_n_active, small_films = build(
+            small_step, small_n_act, small_ref, small_specs)
+    else:
+        sharded_shrink = None
+        small_steps, small_n_active, small_films = (
+            sharded_steps, sharded_n_active, sharded_films)
+    return (sharded_init, sharded_steps, sharded_n_active, sharded_films,
+            sharded_shrink, small_steps, small_n_active, small_films)
 
 
 def _lift_shapes(tree):
@@ -206,8 +253,18 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
                              n_lanes_dev: int = 131072,
                              chunk_dev: int | None = None,
                              max_iters: int = 100000,
+                             check_every: int = 16,
+                             checkpoint_path: str | None = None,
                              verbose: bool = False):
     """Full multi-device persistent-wavefront render.
+
+    Mirrors the single-device driver's refinements (wavefront.run_chunk
+    / render_wavefront): the drain tail runs in a SHRINK_FACTOR-x
+    narrower lockstep pool once every device's occupancy drops, the
+    occupancy fetch is pipelined one window behind the stepping, and
+    `checkpoint_path` dumps (film, cursor, rays) after every global
+    chunk for bit-identical resume (config-keyed like the single-chip
+    checkpoint, plus the device count).
 
     Returns ((H, W, 3) numpy image, stats).  Bit-identical across
     repeat runs and any permutation of the device assignment (same
@@ -216,6 +273,7 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
     (different XLA partitionings may fuse float math differently — see
     tests/test_parallel_wavefront.py).
     """
+    import os
     import time
 
     if mesh is None:
@@ -228,7 +286,8 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
     spp = scene.sampler.sample_count
     scene.integrator.preprocess(scene)
     from nori_tpu.integrators.path import MIS
-    from nori_tpu.wavefront import MAX_DEPTH, make_dense_splat
+    from nori_tpu.wavefront import (
+        MAX_DEPTH, SHRINK_FACTOR, _checkpoint_key, make_dense_splat)
 
     mode = getattr(scene.integrator, "mode", MIS)
     max_depth = getattr(scene.integrator, "max_depth", MAX_DEPTH)
@@ -240,51 +299,101 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
     chunk_dev = max(spp, (chunk_dev // spp) * spp)
 
     key = (mode, n_lanes_dev, chunk_dev, spp, max_depth, w, h,
-           tuple(d.id for d in mesh.devices.flat))
+           check_every, tuple(d.id for d in mesh.devices.flat))
     cache = getattr(scene, "_swf_cache", None)
     if cache is None or cache[0] != key:
         fns = make_sharded_wavefront(
-            scene, mode, mesh, n_lanes_dev, chunk_dev, max_depth)
+            scene, mode, mesh, n_lanes_dev, chunk_dev, max_depth,
+            check_every=check_every)
         dense = make_dense_splat(scene, chunk_dev)
         scene._swf_cache = (key, fns, dense)
     _, fns, dense = scene._swf_cache
-    sharded_init, sharded_steps, sharded_n_active, sharded_films = fns
+    (sharded_init, sharded_steps, sharded_n_active, sharded_films,
+     sharded_shrink, small_steps, small_n_active, small_films) = fns
     new_film, _splat, film_final = dense
 
     film = new_film()
     seed_arr = jnp.uint32(seed)
     q_end = jnp.uint32(total_q)
-    t0 = time.time()
     rays_total = 0
     global_chunk = n_dev * chunk_dev
-    for q0 in range(0, total_q, global_chunk):
+    q_start = 0
+    ck_key = None
+    if checkpoint_path:
+        ck_key = _checkpoint_key(scene, spp, seed, chunk_dev) \
+            + f":ndev={n_dev}"
+        if os.path.exists(checkpoint_path):
+            try:
+                d = np.load(checkpoint_path)
+                if str(d["key"]) == ck_key:
+                    film = jnp.asarray(d["film"])
+                    q_start = int(d["next_q0"])
+                    rays_total = int(d["rays"])
+                    if verbose:
+                        print(f"  resuming at global chunk "
+                              f"{q_start // global_chunk + 1}")
+                elif verbose:
+                    print("  checkpoint config mismatch; starting fresh")
+            except Exception as e:
+                if verbose:
+                    print(f"  unreadable checkpoint ({e}); starting fresh")
+
+    t0 = time.time()
+    steps_total = wide_total = 0
+    done = q_start >= total_q
+    shrink_at = n_lanes_dev // SHRINK_FACTOR
+    for q0 in range(q_start, total_q, global_chunk):
         carry = sharded_init(seed_arr, jnp.uint32(q0), q_end)
         it = 0
+        small = False
         pending = None
         while it < max_iters:
-            carry = sharded_steps(sd, carry, seed_arr)
+            carry = (small_steps if small else sharded_steps)(
+                sd, carry, seed_arr)
             it += 1
-            handle = sharded_n_active(carry)  # async device fetch
-            if pending is not None and int(np.sum(np.asarray(pending))) == 0:
-                break
+            steps_total += check_every
+            if not small:
+                wide_total += check_every
+            # async device fetch, acted on one window later so the
+            # tunnel round-trip overlaps the next window's stepping
+            handle = (small_n_active if small else sharded_n_active)(carry)
+            if pending is not None:
+                counts = np.asarray(pending)
+                if int(np.sum(counts)) == 0:
+                    break
+                if (not small and sharded_shrink is not None
+                        and int(np.max(counts)) <= shrink_at):
+                    carry = sharded_shrink(carry)
+                    small = True
             pending = handle
         else:
             raise RuntimeError("sharded wavefront did not drain")
-        parts, rays = sharded_films(carry, seed_arr)
+        parts, rays = (small_films if small else sharded_films)(
+            carry, seed_arr)
         rays_total += int(np.sum(np.asarray(rays)))
         # left-associative fold in q order == single-device chunk order
         for i in range(n_dev):
             film = film + parts[i]
+        done = q0 + global_chunk >= total_q
+        if checkpoint_path:
+            film.block_until_ready()
+            tmp = checkpoint_path + ".tmp.npz"
+            np.savez(tmp, key=ck_key, film=np.asarray(film),
+                     next_q0=q0 + global_chunk, rays=rays_total)
+            os.replace(tmp, checkpoint_path)
         if verbose:
             film.block_until_ready()
             print(f"  global chunk {q0 // global_chunk + 1} "
                   f"({time.time() - t0:.2f}s)")
+    if done and checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
     img = np.asarray(jax.device_get(film_final(film)))
     dt = time.time() - t0
     return img, {
         "spp": spp, "seconds": dt, "rays": rays_total,
         "mrays_per_sec": rays_total / max(dt, 1e-9) / 1e6,
-        "devices": n_dev,
+        "devices": n_dev, "steps": steps_total, "wide_steps": wide_total,
+        "done": done,
     }
 
 

@@ -230,12 +230,18 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8),
                 0.0,
             )
-            ok = (cos_l > 1e-8) & (p_light_sa > 0.0) & live_hit
+            # a lane whose contribution is already zero (specular lanes
+            # have f == 0, dead lanes have beta == 0) needs no
+            # visibility answer: cull it from the shadow sweep
+            ok = (
+                (cos_l > 1e-8) & (p_light_sa > 0.0) & live_hit
+                & (jnp.max(beta * f, axis=-1) > 0.0)
+            )
             # degenerate interval for idle lanes: keeps the sweep
             # kernel's ray-tile culling bounds tight
             smaxt = jnp.where(ok, smaxt, -1.0)
             vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
-            rays = rays + jnp.sum(live_hit, dtype=jnp.int32)
+            rays = rays + jnp.sum(ok, dtype=jnp.int32)
             if mode == MIS:
                 p_b = pdf_bsdf(params, wi_local, wo_local)
                 w_l = p_light_sa / jnp.maximum(p_light_sa + p_b, 1e-20)
@@ -345,24 +351,19 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
             perm = jnp.argsort(key)
         elif sort_rays:
-            # Bigger scenes: a full lexicographic word comparison would
-            # reach the 938 ideal but costs a multi-operand sort whose
-            # XLA compile time explodes (measured ~20 min); HASHING the
-            # exact mask into one int32 key groups identical candidate
-            # sets (not merely similar ones) and still gets 1928
-            # pairs/ray with the same cheap single-key argsort.
+            # Bigger scenes: the lane's FIRST THREE candidate tile
+            # indices packed lexicographically into one int32.  Groups
+            # lanes whose candidate walks start identically — measured
+            # on the living-room bounce distribution this sweeps 1305
+            # union pairs/ray vs 2221 for an exact-mask hash key (and
+            # 342 for the per-lane ideal); an exact multi-word
+            # lexicographic sort (938) needs a multi-operand sort whose
+            # XLA compile time explodes (~20 min).
             from nori_tpu.accel.pallas_mt import (
-                lane_mask_words, pack_rays)
+                lane_sort_keys, pack_rays)
 
             rays_p, _ = pack_rays(o, d, mint, maxt)
-            words = lane_mask_words(sd.tri_tile_bounds, rays_p)[:N]
-            h = jnp.zeros((N,), jnp.uint32)
-            for k in range(words.shape[1]):
-                h = (h * jnp.uint32(2654435761)) ^ (
-                    words[:, k].astype(jnp.uint32)
-                    * jnp.uint32(2 * (37 + 101 * k) + 1))
-            # clear the top bits so KEY_IDLE/KEY_DONE still order last
-            skey = (h >> 3).astype(jnp.int32)
+            skey = lane_sort_keys(sd.tri_tile_bounds, rays_p)[:N]
             key = jnp.where(
                 done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
             perm = jnp.argsort(key)
@@ -713,6 +714,7 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
         "samples_per_sec": total_q / max(dt, 1e-9),
         "done": done,
         "steps": steps_total,
+        "wide_steps": wide_total,
         # fraction of sweep lanes that carried a live ray (each step
         # sweeps <= 2 rays/lane: closest-hit + shadow)
         "occupancy": total_rays / max(2 * lane_steps, 1),

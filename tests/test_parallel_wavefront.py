@@ -93,6 +93,74 @@ def test_sharded_wavefront_matches_single_device(eight_dev_render):
     assert np.abs(img - img_w).max() < 1e-5
 
 
+def test_sharded_wavefront_shrinks_like_single_device(eight_dev_render):
+    # the drain tail must run in the narrow pool on every device, just
+    # like the single-device driver: with one device and matching
+    # lane/chunk config the two drivers must take the SAME number of
+    # wide steps (full-width sweeps are what the shrink refinement
+    # saves at scale)
+    from nori_tpu.wavefront import render_wavefront
+
+    scene1 = _scene()
+    _, stats1 = render_sharded_wavefront(
+        scene1, make_mesh(1), spp=SPP, n_lanes_dev=2048,
+        chunk_dev=CHUNK_DEV)
+    scene_w = _scene()
+    _, stats_w = render_wavefront(
+        scene_w, spp=SPP, n_lanes=2048, chunk=CHUNK_DEV)
+    assert stats1["wide_steps"] < stats1["steps"], \
+        "sharded drain tail never entered the narrow pool"
+    # pipelined-check granularity (check_every) aside, both phases must
+    # match the single-device driver's step counts
+    assert abs(stats1["wide_steps"] - stats_w["wide_steps"]) <= 32
+    assert abs(stats1["steps"] - stats_w["steps"]) <= 48
+
+
+def test_sharded_wavefront_checkpoint_resume(tmp_path):
+    # interrupt after the first global chunk, resume, and match the
+    # uninterrupted image bit-for-bit
+    ck = str(tmp_path / "swf_ck.npz")
+    small_chunk = ((-(-TOTAL_Q // 16)) // SPP) * SPP
+    scene_a = _scene()
+    img_full, _ = render_sharded_wavefront(
+        scene_a, make_mesh(8), spp=SPP, n_lanes_dev=1024,
+        chunk_dev=small_chunk)
+
+    class Stop(Exception):
+        pass
+
+    scene_b = _scene()
+    import nori_tpu.parallel as par
+
+    orig = np.savez
+    calls = {"n": 0}
+
+    def savez_then_stop(*a, **kw):
+        orig(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Stop()
+
+    np.savez = savez_then_stop
+    try:
+        with pytest.raises(Stop):
+            render_sharded_wavefront(
+                scene_b, make_mesh(8), spp=SPP, n_lanes_dev=1024,
+                chunk_dev=small_chunk, checkpoint_path=ck)
+    finally:
+        np.savez = orig
+    import os
+    os.replace(ck + ".tmp.npz", ck)  # the dump the stop interrupted
+    assert os.path.exists(ck)
+    scene_c = _scene()
+    img_res, stats = render_sharded_wavefront(
+        scene_c, make_mesh(8), spp=SPP, n_lanes_dev=1024,
+        chunk_dev=small_chunk, checkpoint_path=ck)
+    assert stats["done"]
+    assert not os.path.exists(ck)
+    assert np.array_equal(img_full, img_res)
+
+
 def test_sharded_wavefront_lane_count_independent():
     # per-sample values must not depend on pool width (scheduling)
     scene_a = _scene()
