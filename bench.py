@@ -29,6 +29,8 @@ BASELINE_MRAYS = 100.0       # v5e-8 aggregate target
 PER_CHIP_TARGET = BASELINE_MRAYS / 8.0
 REF_CBOX = "/root/reference/scenes/pa5/cbox/cbox_mis.xml"
 REF_TABLE = "/root/reference/scenes/pa5/table/table_mis.xml"
+REF_AJAX_N = "/root/reference/scenes/pa2/ajax-normals.xml"
+REF_AJAX_R = "/root/reference/scenes/pa5/ajax/ajax-rough.xml"
 
 
 def _bench_scene(scene, spp, n_lanes=131072):
@@ -68,21 +70,56 @@ def main():
     else:
         cbox = cornell_box(width=800, height=600, spp=16)
     breakdown["cbox_mis"] = _bench_scene(cbox, spp=16)
-    # (table_mis, 22.8k tris, measures ~6.6 Mrays/s with the same
-    # setup — omitted from the default run to bound bench wall time;
-    # pass it to scripts via _bench_scene if needed)
 
-    # kernel-level accounting on the cbox bounce-ray distribution
-    # (profiling.kernel_report): exact candidate pairs, pair-test rate
-    # and implied VPU FLOP/s for the sweep, plus the render's measured
-    # lane occupancy.  Reuses the scene just benched so its compiled
-    # stepper cache is warm.
-    try:
-        from nori_tpu.profiling import kernel_report
+    if os.path.exists(REF_TABLE):
+        from nori_tpu import load_from_xml
 
-        kernel = kernel_report(cbox)
-    except Exception as e:  # pragma: no cover - diagnostics only
-        kernel = {"error": str(e)}
+        table = load_from_xml(REF_TABLE)
+        breakdown["table_mis"] = _bench_scene(table, spp=8)
+
+    # ajax-scale scenes (541k tris -> HBM-streamed sweep).  The ajax
+    # scan itself is absent from the reference checkout; the parser
+    # substitutes the procedural same-scale stand-in
+    # (scenes_builtin.ajax_standin_meshdata).
+    for name, path, spp in (("ajax_normals", REF_AJAX_N, 4),
+                            ("ajax_rough", REF_AJAX_R, 4)):
+        if not os.path.exists(path):
+            continue
+        try:
+            import time
+            import numpy as np
+            from nori_tpu import load_from_xml
+            from nori_tpu.render import render
+
+            sc = load_from_xml(path)
+            n_tris = sc.compile().tri_v0.shape[0]
+            render(sc, spp=1)          # warm
+            t0 = time.time()
+            img, stats = render(sc, spp=spp)
+            dt = time.time() - t0
+            rays = stats.get("rays", 0) or (
+                sc.camera.output_size[0] * sc.camera.output_size[1] * spp)
+            breakdown[name] = {
+                "mrays_per_sec": round(rays / dt / 1e6, 3),
+                "seconds": round(dt, 2), "rays": int(rays), "spp": spp,
+                "triangles": int(n_tris),
+                "mean_radiance": round(float(np.mean(img)), 4),
+            }
+        except Exception as e:  # pragma: no cover - keep bench robust
+            breakdown[name] = {"error": str(e)}
+
+    # kernel-level accounting per scene (profiling.kernel_report):
+    # exact candidate pairs, pair-test rate and implied VPU FLOP/s for
+    # the sweep on each scene's own bounce-ray distribution.  Reuses
+    # the scenes just benched so their compiled stepper caches are warm.
+    kernel = {}
+    from nori_tpu.profiling import kernel_report
+
+    for name, sc in (("living_room", lr), ("cbox_mis", cbox)):
+        try:
+            kernel[name] = kernel_report(sc)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            kernel[name] = {"error": str(e)}
 
     headline = breakdown["living_room"]["mrays_per_sec"]
     print(json.dumps({

@@ -50,6 +50,12 @@ TILE_T = 512   # triangles per tile, 2-D streamed kernel (lane-major)
 #: reduction.
 FINE_T = 128
 
+#: HBM-streamed kernel DMA slab size (triangles per visited tile) for
+#: soups too big for VMEM residence; larger than FINE_T so each visit's
+#: compute hides the copy latency.  Scene tile bounds are built at this
+#: granularity for streamed-scale scenes.
+STREAM_T = 512
+
 
 def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
                t_ref, idx_ref, u_ref, v_ref,
@@ -232,7 +238,8 @@ def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
 
 def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
                         t_ref,
-                        *, n_tt: int, any_hit: bool, use_mxu: bool):
+                        *, n_tt: int, idx_bits: int, any_hit: bool,
+                        use_mxu: bool):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
@@ -249,10 +256,17 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     131k-ray sweep at ~9 ms regardless of occupancy.  Here skipped
     tiles cost nothing and idle ray tiles exit after one bound check.
 
-    oe_ref packs [tile order (as f32) | sorted entry distance] in one
-    (n_rt, 2*n_tt) SMEM operand: prefetched SMEM operands are padded to
-    128 lanes each, so operand COUNT (not width) is what blows the 1MB
-    SMEM budget (the caller also chunks rays to bound n_rt).
+    oe_ref holds ONE packed int32 per (ray tile, candidate rank): the
+    tile's minimum slab-entry distance bit-or'd with the tile index in
+    the low mantissa bits (see _pack_entry_keys), rows ascending.
+    Decoding gives the visit order AND a conservative entry lower
+    bound for the skyline exit from a single SMEM word — replacing the
+    old [order | entry] pair, which cost a separate argsort +
+    take_along_axis on the host side (measured 2.1 ms/sweep at 131k
+    rays x 404 tiles; the packed single-array sort costs ~half) and
+    twice the SMEM.  Prefetched SMEM operands are padded to 128 lanes
+    each, so operand COUNT (not width) is what blows the 1MB SMEM
+    budget (the caller also chunks rays to bound n_rt).
 
     use_mxu: tri_ref is the (10, 4*T) weight matrix (SceneData.tri_mxu)
     and each visit is a (TILE_N, 10) x (10, 4*FINE_T) fp32 matmul on
@@ -281,16 +295,25 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     live0 = (mint <= maxt)
 
     def t_hi_of(bt, live):
-        t_cap = jnp.minimum(bt, maxt)
-        return jnp.maximum(jnp.max(jnp.where(live, t_cap, 0.0)), 0.0)
+        # scalar t_hi as INT bits: every capped value is >= 0, so the
+        # float order equals the int-bitcast order and the skyline
+        # check against the packed keys' entry bits needs no scalar
+        # int->float bitcast (Mosaic only bitcasts vectors)
+        t_cap = jnp.where(live, jnp.minimum(bt, maxt), 0.0)
+        t_cap = jnp.maximum(t_cap, 0.0)
+        return jnp.max(jax.lax.bitcast_convert_type(t_cap, jnp.int32))
 
     bt0 = jnp.full((TILE_N, 1), jnp.inf, jnp.float32)
     bi0 = jnp.full((TILE_N, 1), -1, jnp.int32)
 
+    idx_mask = jnp.int32((1 << idx_bits) - 1)
+
     def cond(carry):
         k, t_hi, alive, bt, bi = carry
         kc = jnp.minimum(k, n_tt - 1)  # avoid OOB read at k == n_tt
-        return (k < n_tt) & alive & (oe_ref[i, n_tt + kc] <= t_hi)
+        lb_bits = oe_ref[i, kc] & ~idx_mask
+        # non-candidate ranks decode to inf bits > any finite t_hi
+        return (k < n_tt) & alive & (lb_bits <= t_hi)
 
     if use_mxu:
         cxr = oy * dz - oz * dy
@@ -303,7 +326,7 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
 
     def body(carry):
         k, t_hi, alive, bt, bi = carry
-        jj = oe_ref[i, k].astype(jnp.int32)
+        jj = oe_ref[i, k] & idx_mask
         if use_mxu:
             w = tri_ref[:, pl.ds(jj * 4 * FINE_T, 4 * FINE_T)]
             prod = jax.lax.dot_general(
@@ -349,7 +372,7 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
             live_n = live0
         t_hi_n = t_hi_of(bt, live_n)
         if not any_hit:
-            alive = t_hi_n > 0.0
+            alive = t_hi_n > 0   # int bits: 0 == float 0.0
         return k + 1, t_hi_n, alive, bt, bi
 
     t_hi0 = t_hi_of(bt0[:, :1], live0)
@@ -360,6 +383,167 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     )
     t_ref[:, 0:1] = bt
     t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
+
+
+def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
+                      *, n_tt: int, idx_bits: int, tile_t: int,
+                      any_hit: bool):
+    """HBM-streamed sweep for scenes whose triangle soup exceeds VMEM
+    (the reference's ajax-class scans, ~544k tris:
+    scenes/pa2/ajax-normals.xml, src/accel.cpp:24-29's assignment
+    target).  Same candidate machinery as the resident kernel — packed
+    entry keys, skyline exit — but each visited tile's (9, tile_t)
+    triangle slab is DMA'd from HBM into a double buffer: the copy for
+    visit k+1 is issued before computing visit k, so the ~2 us DMA
+    latency hides behind the MT block (tile_t is larger than FINE_T to
+    keep the compute phase longer than the copy).
+
+    DMA bookkeeping invariant: the prologue starts the k=0 copy, every
+    loop body waits copy k and starts copy k+1 (index clamped), so
+    exactly one copy is in flight at loop exit — the epilogue waits it.
+    """
+    i = pl.program_id(0)
+    rays = ray_ref[:, :]
+
+    def col(c):
+        return rays[c, :].reshape(TILE_N, 1)
+
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    mint, maxt = col(6), col(7)
+    live0 = (mint <= maxt)
+    idx_mask = jnp.int32((1 << idx_bits) - 1)
+
+    def t_hi_of(bt, live):
+        t_cap = jnp.where(live, jnp.minimum(bt, maxt), 0.0)
+        t_cap = jnp.maximum(t_cap, 0.0)
+        return jnp.max(jax.lax.bitcast_convert_type(t_cap, jnp.int32))
+
+    def jj_of(k):
+        return oe_ref[i, jnp.minimum(k, n_tt - 1)] & idx_mask
+
+    def copy_for(k):
+        jj = jj_of(k)
+        slot = jax.lax.rem(k, 2)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(jj * tile_t, tile_t)],
+            buf.at[slot], sem.at[slot])
+
+    copy_for(0).start()
+
+    bt0 = jnp.full((TILE_N, 1), jnp.inf, jnp.float32)
+    bi0 = jnp.full((TILE_N, 1), -1, jnp.int32)
+
+    def cond(carry):
+        k, t_hi, alive, bt, bi = carry
+        lb_bits = oe_ref[i, jnp.minimum(k, n_tt - 1)] & ~idx_mask
+        return (k < n_tt) & alive & (lb_bits <= t_hi)
+
+    def body(carry):
+        k, t_hi, alive, bt, bi = carry
+        copy_for(k + 1).start()
+        copy_for(k).wait()
+        slot = jax.lax.rem(k, 2)
+        tris = buf[slot]
+        hit, t, u, v = _mt_block(
+            tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+        tm = jnp.where(hit, t, jnp.inf)
+        tile_min = jnp.min(tm, axis=1, keepdims=True)
+        is_min = (tm == tile_min) & hit
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, tile_t), 1)
+        min_lane = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(tile_t)),
+            axis=1, keepdims=True)
+        better = tile_min < bt
+        bt = jnp.where(better, tile_min, bt)
+        bi = jnp.where(better, min_lane + jj_of(k) * tile_t, bi)
+        if any_hit:
+            live_n = live0 & (bi < 0)
+            alive = jnp.any(live_n)
+        else:
+            live_n = live0
+        t_hi_n = t_hi_of(bt, live_n)
+        if not any_hit:
+            alive = t_hi_n > 0
+        return k + 1, t_hi_n, alive, bt, bi
+
+    t_hi0 = t_hi_of(bt0[:, :1], live0)
+    alive0 = jnp.any(live0)
+    k_end, _, _, bt, bi = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), t_hi0, alive0, bt0, bi0),
+    )
+    copy_for(k_end).wait()   # the one copy still in flight
+    t_ref[:, 0:1] = bt
+    t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
+
+
+def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
+    """One pallas_call of the streamed kernel over all given rays.
+    tris_packed rows must be 8-aligned on TPU (scene.compile pads
+    streamed soups to 16 rows) for the HBM DMA slices."""
+    rows, T = tris_packed.shape
+    _, N = rays_packed.shape
+    n_rt = N // TILE_N
+    n_tt = tile_bounds.shape[0]
+    tile_t = T // n_tt
+
+    order_entry, idx_bits = ray_tile_entry_keys(tile_bounds, rays_packed)
+
+    kernel = functools.partial(
+        _mt_stream_kernel, n_tt=n_tt, idx_bits=idx_bits, tile_t=tile_t,
+        any_hit=any_hit)
+    interpret = jax.default_backend() == "cpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # soup stays in HBM
+            pl.BlockSpec((8, TILE_N), lambda i, *pref: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, 2), lambda i, *pref: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=45 * N * tile_t * 8, bytes_accessed=4 * (9 * T + 24 * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(order_entry, tris_packed, rays_packed)
+    return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
+                      any_hit: bool = False):
+    """HBM-streamed sweep; returns (t, idx) each (N,), idx == -1 miss.
+    Rays are chunked so the prefetched key table fits the SMEM budget
+    (big scenes have many tiles, so chunks are smaller than the
+    resident kernel's)."""
+    _, N = rays_packed.shape
+    n_tt = tile_bounds.shape[0]
+    pad_cols = -(-n_tt // 128) * 128
+    max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
+    chunk_rays = max_rt * TILE_N
+    if N <= chunk_rays:
+        return _stream_call(tris_packed, tile_bounds, rays_packed, any_hit)
+    outs = [[], []]
+    for lo in range(0, N, chunk_rays):
+        hi = min(lo + chunk_rays, N)
+        res = _stream_call(
+            tris_packed, tile_bounds, rays_packed[:, lo:hi], any_hit)
+        for acc, r in zip(outs, res):
+            acc.append(r)
+    return tuple(jnp.concatenate(a) for a in outs)
 
 
 #: MXU-form resident kernel operand budget: (10, 4*T) f32 weights must
@@ -419,7 +603,9 @@ def _entry_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int):
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
         cand = (tn <= tf) & (tf >= mint) & (tn <= maxt) & live
-        entry = jnp.where(cand, tn, jnp.inf)
+        # clamp to >= 0 so float order == int-bitcast order for the
+        # packed-key sort downstream
+        entry = jnp.where(cand, jnp.maximum(tn, 0.0), jnp.inf)
         out_ref[g, :] = jnp.min(entry, axis=0)
 
 
@@ -566,7 +752,168 @@ def lane_mask_words(tile_bounds, rays_packed):
     return (h16[:, 0::2] << 16) | h16[:, 1::2]
 
 
-def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
+def _lane_key_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int,
+                     fbits: int):
+    """Per-LANE coherence sort key: the lane's first three candidate
+    tile indices bit-packed (fbits each, clamped).  Same slab math as
+    _entry_kernel; three masked min-reductions extract the indices.
+    One grid step covers 8 ray tiles (Mosaic needs output sublanes
+    divisible by 8)."""
+    def row(i):
+        return tb_ref[i, :].reshape(1, n_tt_pad)
+
+    for g in range(8):
+        rays = ray_ref[:, pl.ds(g * TILE_N, TILE_N)]
+
+        def col(i):
+            return rays[i, :].reshape(TILE_N, 1)
+
+        ox, oy, oz = col(0), col(1), col(2)
+        dx, dy, dz = col(3), col(4), col(5)
+        mint, maxt = col(6), col(7)
+        live = mint <= maxt
+
+        def inv(c):
+            return 1.0 / jnp.where(
+                jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c)
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        t0x = (row(0) - ox) * ix
+        t1x = (row(3) - ox) * ix
+        t0y = (row(1) - oy) * iy
+        t1y = (row(4) - oy) * iy
+        t0z = (row(2) - oz) * iz
+        t1z = (row(5) - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        cand = (tn <= tf) & (tf >= mint) & (tn <= maxt) & live
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, n_tt_pad), 1)
+        big = jnp.int32(n_tt_pad)
+        cl = jnp.int32((1 << fbits) - 1)
+        t1_ = jnp.min(jnp.where(cand, idx, big), axis=1, keepdims=True)
+        t2_ = jnp.min(jnp.where(cand & (idx > t1_), idx, big), axis=1,
+                      keepdims=True)
+        t3_ = jnp.min(jnp.where(cand & (idx > t2_), idx, big), axis=1,
+                      keepdims=True)
+        key = (
+            (jnp.minimum(t1_, cl) << (2 * fbits))
+            | (jnp.minimum(t2_, cl) << fbits)
+            | jnp.minimum(t3_, cl)
+        )
+        out_ref[g, :] = key[:, 0]
+
+
+def lane_sort_keys(tile_bounds, rays_packed):
+    """(N,) int32 per-lane coherence key: first three candidate tiles
+    lexicographically packed (9-10 bits per field, < 2^30 so the
+    wavefront's KEY_IDLE/KEY_DONE sentinels still order last).
+
+    Measured on the 51.7k-tri living-room bounce distribution at 131k
+    lanes: 256-lane ray-tile candidate unions of 1305 pairs/ray vs
+    2221 for the exact-mask hash key and 342 for the per-lane ideal
+    (only 289 distinct keys arise); on its NEE shadow rays 1616 vs
+    4153 unsorted.  jnp fallback off-TPU.
+    """
+    _, N = rays_packed.shape
+    n_tt = tile_bounds.shape[0]
+    n_tt_pad = -(-n_tt // 128) * 128
+    fbits = min(10, max(9, (n_tt - 1).bit_length()))
+    from nori_tpu import config
+
+    use_pallas = (N % TILE_N == 0
+                  and (jax.default_backend() != "cpu"
+                       or config.FORCE_PALLAS_INTERPRET))
+    if not use_pallas:
+        o = rays_packed[0:3].T.reshape(N, 1, 3)
+        dv = rays_packed[3:6].T.reshape(N, 1, 3)
+        mint = rays_packed[6].reshape(N, 1)
+        maxt = rays_packed[7].reshape(N, 1)
+        inv = 1.0 / jnp.where(jnp.abs(dv) < 1e-20,
+                              jnp.where(dv < 0, -1e-20, 1e-20), dv)
+        t0 = (tile_bounds[None, :, 0:3] - o) * inv
+        t1 = (tile_bounds[None, :, 3:6] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), -1)
+        tf = jnp.min(jnp.maximum(t0, t1), -1)
+        cand = ((tn <= tf) & (tf >= mint) & (tn <= maxt)
+                & (mint <= maxt))
+        idx = jnp.arange(n_tt, dtype=jnp.int32)[None, :]
+        big = jnp.int32(n_tt_pad)
+        cl = jnp.int32((1 << fbits) - 1)
+        t1_ = jnp.min(jnp.where(cand, idx, big), axis=1, keepdims=True)
+        t2_ = jnp.min(jnp.where(cand & (idx > t1_), idx, big), axis=1,
+                      keepdims=True)
+        t3_ = jnp.min(jnp.where(cand & (idx > t2_), idx, big), axis=1,
+                      keepdims=True)
+        return ((jnp.minimum(t1_, cl) << (2 * fbits))
+                | (jnp.minimum(t2_, cl) << fbits)
+                | jnp.minimum(t3_, cl))[:, 0]
+    tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
+    tb = tb.at[:, 3:6].set(-jnp.inf)
+    tb = tb.at[:n_tt].set(tile_bounds)
+    n_rt = N // TILE_N
+    pad_rt = (-n_rt) % 8
+    if pad_rt:
+        filler = jnp.zeros((8, pad_rt * TILE_N), rays_packed.dtype)
+        filler = filler.at[6, :].set(1.0)
+        filler = filler.at[7, :].set(-1.0)
+        rays_packed = jnp.concatenate([rays_packed, filler], axis=1)
+    out = pl.pallas_call(
+        functools.partial(_lane_key_kernel, n_tt_pad=n_tt_pad,
+                          fbits=fbits),
+        grid=((n_rt + pad_rt) // 8,),
+        in_specs=[
+            pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8 * TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE_N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rt + pad_rt, TILE_N),
+                                       jnp.int32),
+        interpret=jax.default_backend() == "cpu",
+    )(tb.T, rays_packed)
+    return out.reshape(-1)[:N]
+
+
+def ray_tile_entry_keys(tile_bounds, rays_packed):
+    """Packed candidate keys for the resident sweep.
+
+    Per (ray tile, triangle tile): the minimum slab-entry distance with
+    the TILE INDEX bit-packed into the low mantissa bits, rows sorted
+    ascending as plain int32.  One sorted word therefore carries both
+    the near-to-far visit order and a conservative (rounded-down) entry
+    lower bound for the in-kernel skyline exit — no argsort, no
+    take_along_axis, half the SMEM of the old [order | entry] pair.
+    Non-candidates pack to inf/NaN bit patterns that sort last and
+    decode to bounds that fail the `lb <= t_hi` check.
+
+    Returns (keys (n_rt, n_tt) int32, idx_bits).
+    """
+    n_tt = tile_bounds.shape[0]
+    idx_bits = max(1, (n_tt - 1).bit_length())
+    idx_mask = jnp.int32((1 << idx_bits) - 1)
+    if rays_packed.shape[1] % TILE_N == 0 \
+            and jax.default_backend() != "cpu":
+        entry_rt = _entry_min_pallas(tile_bounds, rays_packed, TILE_N)
+    else:
+        entry_rt, _, _ = ray_tile_entries(
+            tile_bounds, rays_packed,
+            tile_n=TILE_N if rays_packed.shape[1] % TILE_N == 0
+            else rays_packed.shape[1], _entries_only=True)
+    bits = jax.lax.bitcast_convert_type(entry_rt, jnp.int32)
+    idx = jnp.arange(n_tt, dtype=jnp.int32)[None, :]
+    keys = (bits & ~idx_mask) | idx
+    return jnp.sort(keys, axis=1), idx_bits
+
+
+def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N,
+                     _entries_only: bool = False):
     """Per-ray-tile candidate list: slab-test every lane against every
     FINE_T-tile AABB, reduce to the per-(ray tile, tri tile) minimum
     entry distance (inf when no lane enters).
@@ -577,6 +924,8 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
     if tile_n == TILE_N and rays_packed.shape[1] % TILE_N == 0 \
             and jax.default_backend() != "cpu":
         entry_rt = _entry_min_pallas(tile_bounds, rays_packed, tile_n)
+        if _entries_only:
+            return entry_rt, None, None
         tile_order = jnp.argsort(entry_rt, axis=1)
         entry_sorted = jnp.take_along_axis(entry_rt, tile_order, axis=1)
         return entry_rt, tile_order, entry_sorted
@@ -598,6 +947,8 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N):
     hit = (tn <= tf) & (tf >= mint_r) & (tn <= maxt_r) & live
     entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
     entry_rt = jnp.min(entry, axis=1)                  # (n_rt, n_tt)
+    if _entries_only:
+        return entry_rt, None, None
     tile_order = jnp.argsort(entry_rt, axis=1)
     entry_sorted = jnp.take_along_axis(entry_rt, tile_order, axis=1)
     return entry_rt, tile_order, entry_sorted
@@ -616,12 +967,11 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     n_rt = N // TILE_N
     n_tt = T // FINE_T
 
-    _, tile_order, entry_sorted = ray_tile_entries(tile_bounds, rays_packed)
-    order_entry = jnp.concatenate(
-        [tile_order.astype(jnp.float32), entry_sorted], axis=1)
+    order_entry, idx_bits = ray_tile_entry_keys(tile_bounds, rays_packed)
 
     kernel = functools.partial(
-        _mt_resident_kernel, n_tt=n_tt, any_hit=any_hit, use_mxu=use_mxu)
+        _mt_resident_kernel, n_tt=n_tt, idx_bits=idx_bits,
+        any_hit=any_hit, use_mxu=use_mxu)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed [order | sorted entry]
@@ -666,7 +1016,7 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
     T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_tt = T // FINE_T
-    pad_cols = -(-2 * n_tt // 128) * 128
+    pad_cols = -(-n_tt // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:

@@ -216,64 +216,90 @@ def intersect_bvh(scene, o, d, mint, maxt, any_hit: bool = False,
     return Hit(valid=best_i >= 0, t=best_t, tri=best_i, u=best_u, v=best_v)
 
 
-def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
+def _sweep_any(scene, rays, any_hit: bool):
+    """(t, idx) sweep dispatch: VMEM-resident kernel for reference-
+    scale soups, HBM-streamed kernel for ajax-scale ones (the scene's
+    tile-bound granularity was chosen by the same budget test at
+    compile, scene.py).  The MXU form is OFF by default: measured on
+    the v5e chip, the fp32 matmul emulation (6 bf16 passes) plus
+    per-visit matmul staging inside the serialized while_loop costs
+    ~2 us/visit, losing to the VPU block (7.3 ms vs 5.2 ms on the cbox
+    bounce distribution) despite doing 3x fewer VPU ops/pair.  Kept
+    selectable for hardware with native fp32 MXU throughput."""
+    from nori_tpu import config
     from nori_tpu.accel.pallas_mt import (
         RESIDENT_VMEM_BUDGET, RESIDENT_MXU_VMEM_BUDGET,
-        mt_sweep, mt_sweep_resident, pack_rays,
+        mt_sweep_resident, mt_sweep_streamed,
     )
 
-    rays, n = pack_rays(o, d, mint, maxt)
     T = scene.tri_packed.shape[1]
-    if 9 * T * 4 <= RESIDENT_VMEM_BUDGET:
-        # resident kernel returns (t, idx) only; u/v are recomputed by
-        # the interaction fill from the winning triangle's row of the
-        # attribute gather it already performs.  The MXU form is OFF by
-        # default: measured on the v5e chip, the fp32 matmul emulation
-        # (6 bf16 passes) plus per-visit matmul staging inside the
-        # serialized while_loop costs ~2 us/visit, losing to the
-        # VPU block (7.3 ms vs 5.2 ms on the cbox bounce distribution)
-        # despite doing 3x fewer VPU ops/pair.  Kept selectable for
-        # hardware with native fp32 MXU throughput.
-        from nori_tpu import config
+    if 9 * T * 4 > RESIDENT_VMEM_BUDGET:
+        return mt_sweep_streamed(
+            scene.tri_packed, scene.tri_tile_bounds, rays,
+            any_hit=any_hit)
+    use_mxu = (config.USE_MXU_SWEEP
+               and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
+    return mt_sweep_resident(
+        scene.tri_mxu if use_mxu else scene.tri_packed,
+        scene.tri_tile_bounds, scene.scene_bounds,
+        rays, any_hit=any_hit, use_mxu=use_mxu,
+    )
 
-        use_mxu = (config.USE_MXU_SWEEP
-                   and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
-        t, idx = mt_sweep_resident(
-            scene.tri_mxu if use_mxu else scene.tri_packed,
-            scene.tri_tile_bounds, scene.scene_bounds,
-            rays, any_hit=any_hit, use_mxu=use_mxu,
-        )
-        # the resident kernel tracks only (t, idx); reconstruct the
-        # winning triangle's barycentrics with one Moller-Trumbore per
-        # RAY (a gather of the winner + ~30 flops — negligible next to
-        # the sweep).  Consumers of Hit.u/v (fill_interaction, whitted/
-        # ao dumps) rely on them.  Shadow queries need none of it.
-        if any_hit:
-            u = v = jnp.zeros_like(t)
-            return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n],
-                       u=u[:n], v=v[:n])
-        tri = jnp.maximum(idx, 0)
-        # ONE fused row gather (XLA TPU pays ~per-row): tri_attr
-        # carries v0|e1|e2 in cols 19:28
-        aw = scene.tri_attr[tri]
-        v0w, e1w, e2w = aw[:, 19:22], aw[:, 22:25], aw[:, 25:28]
-        ow = rays[0:3].T
-        dw = rays[3:6].T
-        pv = jnp.cross(dw, e2w)
-        det = jnp.sum(e1w * pv, axis=-1)
-        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-        tv = ow - v0w
-        u = jnp.clip(jnp.sum(tv * pv, axis=-1) * inv_det, 0.0, 1.0)
-        qv = jnp.cross(tv, e1w)
-        v = jnp.clip(jnp.sum(dw * qv, axis=-1) * inv_det, 0.0, 1.0)
-        miss = idx < 0
-        u = jnp.where(miss, 0.0, u)
-        v = jnp.where(miss, 0.0, v)
-    else:
-        t, idx, u, v = mt_sweep(
-            scene.tri_packed, scene.tri_tile_bounds, scene.scene_bounds,
-            rays, any_hit=any_hit,
-        )
+
+def _occluded_pallas_sorted(scene, o, d, mint, maxt) -> jnp.ndarray:
+    """Shadow query with its OWN coherence sort.
+
+    Shadow rays arrive in the wavefront's bounce-ray sort order, which
+    is near-random for THEIR candidate sets (measured on living-room:
+    4153 union pairs/ray vs 1616 under their own first3 key).  Sorting
+    costs two extra lax.sorts (permute + inverse) but more than pays
+    for itself once the scene has enough tiles; gate at the caller.
+    """
+    from nori_tpu.accel.pallas_mt import lane_sort_keys, pack_rays
+
+    rays, n = pack_rays(o, d, mint, maxt)
+    keys = lane_sort_keys(scene.tri_tile_bounds, rays)
+    N = rays.shape[1]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    _, perm = jax.lax.sort((keys, iota), num_keys=1)
+    _, idx = _sweep_any(scene, rays[:, perm], any_hit=True)
+    # undo the permutation by sorting the hit bits back by lane id
+    _, hit = jax.lax.sort(
+        (perm, (idx >= 0).astype(jnp.int32)), num_keys=1)
+    return (hit > 0)[:n]
+
+
+def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
+    from nori_tpu.accel.pallas_mt import pack_rays
+
+    rays, n = pack_rays(o, d, mint, maxt)
+    t, idx = _sweep_any(scene, rays, any_hit=any_hit)
+    # the sweep kernels track only (t, idx); reconstruct the winning
+    # triangle's barycentrics with one Moller-Trumbore per RAY (a
+    # gather of the winner + ~30 flops — negligible next to the
+    # sweep).  Consumers of Hit.u/v (fill_interaction, whitted/ao
+    # dumps) rely on them.  Shadow queries need none of it.
+    if any_hit:
+        u = v = jnp.zeros_like(t)
+        return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n],
+                   u=u[:n], v=v[:n])
+    tri = jnp.maximum(idx, 0)
+    # ONE fused row gather (XLA TPU pays ~per-row): tri_attr
+    # carries v0|e1|e2 in cols 19:28
+    aw = scene.tri_attr[tri]
+    v0w, e1w, e2w = aw[:, 19:22], aw[:, 22:25], aw[:, 25:28]
+    ow = rays[0:3].T
+    dw = rays[3:6].T
+    pv = jnp.cross(dw, e2w)
+    det = jnp.sum(e1w * pv, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    tv = ow - v0w
+    u = jnp.clip(jnp.sum(tv * pv, axis=-1) * inv_det, 0.0, 1.0)
+    qv = jnp.cross(tv, e1w)
+    v = jnp.clip(jnp.sum(dw * qv, axis=-1) * inv_det, 0.0, 1.0)
+    miss = idx < 0
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
     return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n], u=u[:n], v=v[:n])
 
 
@@ -293,13 +319,31 @@ def intersect(scene, o, d, mint, maxt) -> Hit:
     return intersect_bvh(scene, o, d, mint, maxt, any_hit=False)
 
 
-def occluded(scene, o, d, mint, maxt) -> jnp.ndarray:
+#: tile count above which the shadow query's own coherence sort pays
+#: for its two extra lax.sorts
+OCCLUDED_SORT_MIN_TILES = 64
+
+
+def occluded(scene, o, d, mint, maxt, presort: bool | None = None
+             ) -> jnp.ndarray:
     """Shadow-ray query (Scene::rayIntersect shadowRay=true,
-    scene.h:87-97): any hit in (mint, maxt)."""
+    scene.h:87-97): any hit in (mint, maxt).
+
+    presort: sort the rays by their own candidate key before the sweep
+    (None = auto by scene size; only meaningful on the Pallas path)."""
     from nori_tpu import config
 
     mode = config.resolve_accel(scene.tri_v0.shape[0])
     if mode == "pallas":
+        from nori_tpu.accel.pallas_mt import RESIDENT_VMEM_BUDGET
+
+        if presort is None:
+            presort = (
+                scene.tri_tile_bounds.shape[0] >= OCCLUDED_SORT_MIN_TILES
+                or 9 * scene.tri_packed.shape[1] * 4
+                > RESIDENT_VMEM_BUDGET)
+        if presort:
+            return _occluded_pallas_sorted(scene, o, d, mint, maxt)
         return _intersect_pallas(scene, o, d, mint, maxt, any_hit=True).valid
     if mode == "scan":
         return intersect_brute(scene, o, d, mint, maxt).valid

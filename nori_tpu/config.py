@@ -28,6 +28,11 @@ USE_MXU_SWEEP: bool = False
 #: dense-sweep cutoff: above this triangle count use the BVH
 PALLAS_MAX_TRIS = 1 << 17
 
+#: tests only: run Pallas kernels in interpret mode on CPU where the
+#: production code would otherwise take a jnp fallback, so TPU-only
+#: kernel branches get CI coverage
+FORCE_PALLAS_INTERPRET: bool = False
+
 
 def on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
@@ -36,6 +41,10 @@ def on_tpu() -> bool:
 def resolve_accel(num_tris: int) -> str:
     if accel_mode != "auto":
         return accel_mode
+    if on_tpu():
+        # resident sweep for reference-scale soups, HBM-streamed sweep
+        # beyond the VMEM budget (ajax-class scans) — both "pallas"
+        return "pallas"
     if num_tris <= PALLAS_MAX_TRIS:
-        return "pallas" if on_tpu() else "scan"
+        return "scan"
     return "bvh"

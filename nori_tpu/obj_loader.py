@@ -47,6 +47,23 @@ class MeshData:
     def bbox(self):
         return self.positions.min(axis=0), self.positions.max(axis=0)
 
+    def transformed(self, to_world) -> "MeshData":
+        """Apply a toWorld transform (same load-time semantics as the
+        reference OBJ loader, src/obj.cpp:117-123)."""
+        m = to_world.m
+        pos = (self.positions.astype(np.float64) @ m[:3, :3].T
+               + m[:3, 3]).astype(np.float32)
+        normals = self.normals
+        if normals is not None:
+            ninv = to_world.inv[:3, :3].T
+            nw = normals.astype(np.float64) @ ninv.T
+            nw /= np.maximum(
+                np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
+            normals = nw.astype(np.float32)
+        return MeshData(positions=pos, normals=normals,
+                        texcoords=self.texcoords, faces=self.faces,
+                        name=self.name)
+
 
 def _parse_face_vertex(token: str):
     parts = token.split("/")

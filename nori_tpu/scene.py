@@ -263,26 +263,29 @@ class Scene(NoriObject):
             )
 
         # --- per-tile AABBs for sweep-kernel culling ------------------------
-        # FINE_T granularity: the resident kernel culls at 128 triangles;
-        # the 2-D streamed kernel coarsens these to its 512-tile groups
-        from nori_tpu.accel.pallas_mt import FINE_T
+        # FINE_T granularity for resident-size scenes (the kernel culls
+        # at 128 triangles; the 2-D streamed kernel coarsens these to
+        # its 512-tile groups).  Soups too big for VMEM use the
+        # HBM-streamed kernel whose DMA'd slabs are STREAM_T triangles:
+        # the tile is the DMA unit, so bounds are built at that size.
+        from nori_tpu.accel.pallas_mt import (
+            FINE_T, RESIDENT_VMEM_BUDGET, STREAM_T)
         t_padded = v0.shape[0]
-        n_tiles = t_padded // FINE_T
+        streamed = 9 * t_padded * 4 > RESIDENT_VMEM_BUDGET
+        tile_gran = STREAM_T if streamed else FINE_T
+        n_tiles = t_padded // tile_gran
         tile_bounds = np.zeros((n_tiles, 8), dtype=np.float32)
         p1f = v0 + e1
         p2f = v0 + e2
-        for ti in range(n_tiles):
-            lo = ti * FINE_T
-            hi = min(lo + FINE_T, n_tris)  # exclude padded rows
-            if hi <= lo:
-                tile_bounds[ti, 0:3] = np.inf
-                tile_bounds[ti, 3:6] = -np.inf
-                continue
-            sl = slice(lo, hi)
-            tile_bounds[ti, 0:3] = np.minimum(
-                np.minimum(v0[sl].min(0), p1f[sl].min(0)), p2f[sl].min(0))
-            tile_bounds[ti, 3:6] = np.maximum(
-                np.maximum(v0[sl].max(0), p1f[sl].max(0)), p2f[sl].max(0))
+        valid = (np.arange(t_padded) < n_tris)[:, None]
+        lo3 = np.minimum(np.minimum(
+            np.where(valid, v0, np.inf), np.where(valid, p1f, np.inf)),
+            np.where(valid, p2f, np.inf))
+        hi3 = np.maximum(np.maximum(
+            np.where(valid, v0, -np.inf), np.where(valid, p1f, -np.inf)),
+            np.where(valid, p2f, -np.inf))
+        tile_bounds[:, 0:3] = lo3.reshape(n_tiles, tile_gran, 3).min(1)
+        tile_bounds[:, 3:6] = hi3.reshape(n_tiles, tile_gran, 3).max(1)
         center = 0.5 * (bbox_min + bbox_max)
         half_diag = 0.5 * float(np.linalg.norm(bbox_max - bbox_min)) + 1e-3
         scene_bounds_row = np.zeros((1, 8), dtype=np.float32)
@@ -363,10 +366,20 @@ class Scene(NoriObject):
             tri_attr=jnp.asarray(tri_attr),
             em_attr=jnp.asarray(em_attr),
             mesh_attr=jnp.asarray(mesh_attr),
-            tri_packed=jnp.asarray(
-                np.concatenate([v0.T, e1.T, e2.T], axis=0)
-            ),
-            tri_mxu=jnp.asarray(_build_tri_mxu(v0, e1, e2, n_tris)),
+            # streamed scenes carry 7 zero rows after [v0|e1|e2]: the
+            # Mosaic DMA that slices (rows, STREAM_T) slabs out of HBM
+            # requires the sublane extent to be 8-aligned (9 is not;
+            # 16 is), and the resident kernel never sees these soups
+            tri_packed=jnp.asarray(np.concatenate(
+                [v0.T, e1.T, e2.T]
+                + ([np.zeros((7, t_padded), np.float32)] if streamed
+                   else []), axis=0)),
+            # streamed-scale soups never take the MXU path; skip the
+            # (16, 4*T) weight table, which would cost ~140 MB at ajax
+            # scale
+            tri_mxu=jnp.asarray(
+                _build_tri_mxu(v0, e1, e2, n_tris) if not streamed
+                else np.zeros((16, 4), np.float32)),
             tri_tile_bounds=jnp.asarray(tile_bounds),
             scene_bounds=jnp.asarray(scene_bounds_row),
             bsdf=bsdf_table,

@@ -289,3 +289,59 @@ def cornell_box(width: int = 512, height: int = 512, spp: int = 16,
     scene.add_child(create_instance(integrator, PropertyList()))
     scene.activate()
     return scene
+
+
+def ajax_standin_meshdata(n_lat: int = 512, n_lon: int = 530,
+                         seed: int = 7):
+    """Procedural ~544k-triangle stand-in for the absent ajax.obj scan.
+
+    The reference's pa2/pa3/pa5 ajax scenes reference a ~544k-triangle
+    bust scan from the Jotero forum that is NOT shipped in the checkout
+    (scenes/ carries only the XMLs and light.obj).  This builds a
+    displaced sphere with the same triangle count, positioned to fill
+    the same 30-degree camera frustum (origin -65.6, 47.6, 24.4 looking
+    at -64.8, 47.2, 23.9, scenes/pa2/ajax-normals.xml:20-24) and to
+    face the pa5 area light (scenes/pa5/ajax/light.obj) — a comparable
+    intersection workload with non-trivial spatial structure for the
+    streamed sweep.
+    """
+    from nori_tpu.obj_loader import MeshData
+
+    rng = np.random.RandomState(seed)
+    # camera geometry from the ajax XMLs
+    origin = np.array([-65.6055, 47.5762, 24.3583])
+    target = np.array([-64.8161, 47.2211, 23.8576])
+    d = target - origin
+    d /= np.linalg.norm(d)
+    center = origin + 22.0 * d
+    radius = 12.0
+
+    theta = np.linspace(1e-3, np.pi - 1e-3, n_lat)
+    phi = np.linspace(0.0, 2 * np.pi, n_lon, endpoint=False)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    # ridged multi-frequency displacement (scan-like surface detail)
+    disp = np.zeros_like(tt)
+    for k, (ft, fp) in enumerate([(3, 5), (7, 4), (13, 11), (24, 19)]):
+        a = 1.6 / (k + 1) ** 1.1
+        ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
+        disp += a * np.abs(np.sin(ft * tt + ph1) * np.cos(fp * pp + ph2))
+    r = radius + disp - disp.mean()
+    x = r * np.sin(tt) * np.cos(pp)
+    y = r * np.cos(tt)
+    z = r * np.sin(tt) * np.sin(pp)
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3) + center
+
+    # grid faces with longitudinal wraparound
+    i = np.arange(n_lat - 1)[:, None]
+    j = np.arange(n_lon)[None, :]
+    jn = (j + 1) % n_lon
+    v00 = i * n_lon + j
+    v01 = i * n_lon + jn
+    v10 = (i + 1) * n_lon + j
+    v11 = (i + 1) * n_lon + jn
+    f1 = np.stack([v00, v10, v11], axis=-1).reshape(-1, 3)
+    f2 = np.stack([v00, v11, v01], axis=-1).reshape(-1, 3)
+    faces = np.concatenate([f1, f2]).astype(np.uint32)
+    return MeshData(
+        positions=pos.astype(np.float32), normals=None, texcoords=None,
+        faces=faces, name="ajax-standin")
