@@ -63,9 +63,51 @@ def make_sample_pass(scene, spec: FilmSpec, batch: int):
 DEFAULT_BATCH = 131072
 
 
+def make_sample_pass_q(scene, batch: int):
+    """Jitted pass over `batch` work items q = pixel * spp + sample.
+
+    Returns fn(sd, seed, q0) -> (L (batch, 3), rays).  The RNG streams
+    are keyed by q exactly like make_sample_pass keys them by
+    pixel * spp + sample_idx, so the two batchings produce identical
+    sample values.
+    """
+    cam = scene.camera
+    w, h = cam.output_size
+    spp = scene.sampler.sample_count
+    cam_params = cam.ray_params()
+    li = scene.integrator.make_li(scene)
+    n_pixels = w * h
+
+    def pass_fn(sd, seed, q0):
+        q = q0 + jnp.arange(batch, dtype=jnp.uint32)
+        in_range = q < jnp.uint32(n_pixels * spp)
+        pix = jnp.minimum(q // jnp.uint32(spp), jnp.uint32(n_pixels - 1))
+        jitter = rng.uniform2(seed, q, jnp.uint32(JITTER_STREAM))
+        px = (pix % w).astype(jnp.float32)
+        py = (pix // w).astype(jnp.float32)
+        pos = jnp.stack([px, py], axis=-1) + jitter
+        o, d, mint, maxt = type(cam).sample_rays(cam_params, pos)
+        vals, aux = li(sd, o, d, mint, maxt, seed, q)
+        vals = jnp.where(in_range[:, None], vals, 0.0)
+        return vals, aux.get("rays", jnp.int32(batch))
+
+    return pass_fn
+
+
 def render(scene, spp: int | None = None, seed: int = 0,
            verbose: bool = False, batch: int | None = None):
-    """Render a scene; returns (image (H, W, 3) numpy, stats dict)."""
+    """Render a scene; returns (image (H, W, 3) numpy, stats dict).
+
+    Work is batched over q = pixel * spp + sample and accumulated with
+    the scatter-free dense splat (wavefront.make_dense_splat) — XLA
+    TPU scatters cost ~90 ns/row, which made the old per-sample
+    scatter splat the dominant cost on simple integrators.  The jitted
+    pass is cached on the scene: re-rendering (e.g. bench warm + timed
+    runs) must not recompile the program, which for streamed-scale
+    scenes costs minutes.
+    """
+    from nori_tpu.wavefront import make_dense_splat
+
     sd = scene.compile()
     cam = scene.camera
     w, h = cam.output_size
@@ -76,28 +118,36 @@ def render(scene, spp: int | None = None, seed: int = 0,
     scene.integrator.preprocess(scene)
 
     n_pixels = w * h
+    total_q = n_pixels * spp
     if batch is None:
-        batch = min(DEFAULT_BATCH, n_pixels)
-    spec = FilmSpec.for_filter(w, h, cam.rfilter)
-    sample_pass = make_sample_pass(scene, spec, batch)
-    jitted = jax.jit(sample_pass, donate_argnums=(1,))
+        batch = min(DEFAULT_BATCH, total_q)
+    batch = max(spp, (batch // spp) * spp)
 
-    accum = new_accumulator(spec)
+    key = (batch, spp, w, h, scene.integrator.plugin_name,
+           float(getattr(cam.rfilter, "radius", 0.0)))
+    cache = getattr(scene, "_render_cache", None)
+    if cache is None or cache[0] != key:
+        jitted = jax.jit(make_sample_pass_q(scene, batch))
+        dense = make_dense_splat(scene, batch)
+        scene._render_cache = (key, jitted, dense)
+    _, jitted, dense = scene._render_cache
+    new_film, splat_chunk, finalize = dense
+
+    film = new_film()
     seed_arr = jnp.uint32(seed)
+    q_end = jnp.uint32(total_q)
     t0 = time.time()
     ray_counts = []
-    n_batches = (n_pixels + batch - 1) // batch
-    for s in range(spp):
-        for b in range(n_batches):
-            accum, dropped, rays = jitted(
-                sd, accum, seed_arr, jnp.uint32(s), jnp.uint32(b * batch)
-            )
-            ray_counts.append(rays)
-        if verbose and (s + 1) % max(1, spp // 10) == 0:
-            accum.block_until_ready()
-            print(f"  sample {s + 1}/{spp}  ({time.time() - t0:.2f}s)")
-    img = to_bitmap(spec, accum)
-    img_np = np.asarray(jax.device_get(img))
+    n_batches = (total_q + batch - 1) // batch
+    for b in range(n_batches):
+        q0 = jnp.uint32(b * batch)
+        vals, rays = jitted(sd, seed_arr, q0)
+        film = splat_chunk(film, vals, seed_arr, q0, q_end)
+        ray_counts.append(rays)
+        if verbose and (b + 1) % max(1, n_batches // 10) == 0:
+            film.block_until_ready()
+            print(f"  batch {b + 1}/{n_batches}  ({time.time() - t0:.2f}s)")
+    img_np = np.asarray(jax.device_get(finalize(film)))
     elapsed = time.time() - t0
     total_rays = int(np.sum([int(r) for r in ray_counts]))
     stats = {

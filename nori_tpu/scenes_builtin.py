@@ -313,8 +313,13 @@ def ajax_standin_meshdata(n_lat: int = 512, n_lon: int = 530,
     target = np.array([-64.8161, 47.2211, 23.8576])
     d = target - origin
     d /= np.linalg.norm(d)
-    center = origin + 22.0 * d
-    radius = 12.0
+    # bust-like ellipsoid: tall in y, reaching down past the pa5 area
+    # light's span (y 6.3..33.7, scenes/pa5/ajax/light.obj) so the
+    # whitted/microfacet scenes are actually lit
+    center = origin + 26.0 * d
+    center[1] = 26.0
+    radius = 11.0
+    y_stretch = 2.1
 
     theta = np.linspace(1e-3, np.pi - 1e-3, n_lat)
     phi = np.linspace(0.0, 2 * np.pi, n_lon, endpoint=False)
@@ -327,7 +332,7 @@ def ajax_standin_meshdata(n_lat: int = 512, n_lon: int = 530,
         disp += a * np.abs(np.sin(ft * tt + ph1) * np.cos(fp * pp + ph2))
     r = radius + disp - disp.mean()
     x = r * np.sin(tt) * np.cos(pp)
-    y = r * np.cos(tt)
+    y = r * np.cos(tt) * y_stretch
     z = r * np.sin(tt) * np.sin(pp)
     pos = np.stack([x, y, z], axis=-1).reshape(-1, 3) + center
 
@@ -339,8 +344,10 @@ def ajax_standin_meshdata(n_lat: int = 512, n_lon: int = 530,
     v01 = i * n_lon + jn
     v10 = (i + 1) * n_lon + j
     v11 = (i + 1) * n_lon + jn
-    f1 = np.stack([v00, v10, v11], axis=-1).reshape(-1, 3)
-    f2 = np.stack([v00, v11, v01], axis=-1).reshape(-1, 3)
+    # wound so geometric normals point OUTWARD (the default-shading
+    # normals and every BSDF hemisphere check depend on it)
+    f1 = np.stack([v00, v11, v10], axis=-1).reshape(-1, 3)
+    f2 = np.stack([v00, v01, v11], axis=-1).reshape(-1, 3)
     faces = np.concatenate([f1, f2]).astype(np.uint32)
     return MeshData(
         positions=pos.astype(np.float32), normals=None, texcoords=None,
