@@ -34,9 +34,17 @@ def sample_discrete(cdf, u):
     Returns (index, pdf-free reuse-u) like dpdf.h `sampleReuse`:
     the remapped uniform is (u - cdf[i]) / (cdf[i+1] - cdf[i]).
     """
-    idx = jnp.clip(
-        jnp.searchsorted(cdf, u, side="right") - 1, 0, cdf.shape[0] - 2
-    )
+    n = cdf.shape[0]
+    if n <= 2048:
+        # branchless compare-all: jnp.searchsorted's default lowering
+        # is a log-n loop of per-query gathers, which on TPU costs
+        # milliseconds per 131k queries even for a 30-entry emitter
+        # CDF; the (N, n) comparison matrix is pure VPU work
+        idx = jnp.sum(
+            (u[..., None] >= cdf[1:n - 1]).astype(jnp.int32), axis=-1)
+    else:
+        idx = jnp.clip(
+            jnp.searchsorted(cdf, u, side="right") - 1, 0, n - 2)
     lo = cdf[idx]
     hi = cdf[idx + 1]
     reuse = (u - lo) / jnp.maximum(hi - lo, 1e-20)
