@@ -45,6 +45,11 @@ def _bench_scene(scene, spp, n_lanes=131072):
     n_tris = int(np.sum(np.asarray(sd.tri_v0)[:, 0] < 1e29))
     return {
         "mrays_per_sec": round(stats["mrays_per_sec"], 3),
+        # rays counts TRACED rays only: NEE shadow queries whose
+        # contribution is provably zero (specular f=0) are culled
+        # before the sweep, so samples_per_sec is the wall-clock
+        # figure to compare across revisions
+        "samples_per_sec": round(stats.get("samples_per_sec", 0.0), 0),
         "seconds": round(stats["seconds"], 2),
         "rays": stats["rays"],
         "spp": spp,

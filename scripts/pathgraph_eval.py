@@ -29,13 +29,23 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--ref-spp", type=int, default=256)
+    ap.add_argument("--ref-exr", default=None,
+                    help="reuse an existing reference EXR instead of "
+                         "rendering one (the fork stores "
+                         "living-room_final.exr the same way)")
     ap.add_argument("--detail", type=int, default=3)
+    ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--json-out", default=None)
     ap.add_argument("--out", default="/tmp/pg_eval")
     ap.add_argument("--scene", default="living_room",
                     choices=["living_room", "cornell_box"])
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    width = args.width or args.res
+    height = args.height or args.res
 
     from nori_tpu import scenes_builtin
     from nori_tpu.wavefront import render_wavefront
@@ -50,27 +60,35 @@ def main():
     from nori_tpu.pathgraph.merge import rmse
 
     make = getattr(scenes_builtin, args.scene)
-    scene = make(width=args.res, height=args.res, spp=1,
+    scene = make(width=width, height=height, spp=1,
                  detail=args.detail) if args.scene == "living_room" \
-        else make(width=args.res, height=args.res, spp=1)
+        else make(width=width, height=height, spp=1)
     sd = scene.compile()
     print(f"[eval] scene '{args.scene}': {sd.tri_v0.shape[0]} tris "
-          f"(padded), {args.res}x{args.res}")
+          f"(padded), {width}x{height}")
 
     # ---- high-spp PT reference -----------------------------------------
-    t0 = time.time()
-    ref, st = render_wavefront(scene, spp=args.ref_spp, seed=999)
-    print(f"[eval] reference {args.ref_spp} spp in {st['seconds']:.1f}s "
-          f"({st['mrays_per_sec']:.2f} Mrays/s)")
-    write_exr(os.path.join(args.out, "reference.exr"), ref)
-    write_png(os.path.join(args.out, "reference.png"), ref)
+    if args.ref_exr:
+        from nori_tpu.bitmap import read_exr
+
+        ref = read_exr(args.ref_exr)
+        assert ref.shape[:2] == (height, width), \
+            f"reference {ref.shape} != scene {height}x{width}"
+        print(f"[eval] reference loaded from {args.ref_exr}")
+    else:
+        t0 = time.time()
+        ref, st = render_wavefront(scene, spp=args.ref_spp, seed=999)
+        print(f"[eval] reference {args.ref_spp} spp in "
+              f"{st['seconds']:.1f}s ({st['mrays_per_sec']:.2f} Mrays/s)")
+        write_exr(os.path.join(args.out, "reference.exr"), ref)
+        write_png(os.path.join(args.out, "reference.png"), ref)
 
     # ---- path-graph runs ------------------------------------------------
     pg_fulls, pt_fulls = [], []
     t_pg = 0.0
     for run in range(args.runs):
         t0 = time.time()
-        g = trace_dump(scene, max_depth=8, seed=run)
+        g = trace_dump(scene, max_depth=args.max_depth, seed=run)
         gp = GraphPoints(g.sps)
         pos = np.asarray(g.sps["pos"])
         dims = g.grid_dimensions()
@@ -107,23 +125,61 @@ def main():
           f"plain PT (same samples) {e_pt:.4f}")
 
     # ---- equal-RMSE PT spp (refDict observable) -------------------------
+    # Measure the PT RMSE-vs-spp curve and solve for the spp whose RMSE
+    # equals the merged path-graph RMSE on the Monte-Carlo model
+    # log(e) = a - 0.5 log(spp) fit to the measurements (the fork's
+    # refDict records exactly this observable, python/utils.py:168-181).
+    pt_curve = []
     match_spp, match_err = None, None
     for spp in (1, 2, 4, 8, 16, 32, 64, 128):
         img, _ = render_wavefront(scene, spp=spp, seed=7)
         e = rmse(img, ref, clamp=10.0)
+        pt_curve.append((spp, e))
         print(f"[eval] PT {spp} spp -> RMSE {e:.4f}")
-        if e <= e_pg:
+        if match_spp is None and e <= e_pg:
             match_spp, match_err = spp, e
+        # at least 3 curve points so the power-law fit is determined
+        if match_spp is not None and len(pt_curve) >= 3:
             break
+    ss = np.array([s for s, _ in pt_curve], np.float64)
+    ee = np.array([e for _, e in pt_curve], np.float64)
+    fin = np.isfinite(np.log(ee))
+    if fin.sum() >= 2:
+        slope, icept = np.polyfit(np.log(ss[fin]), np.log(ee[fin]), 1)
+    else:
+        # degenerate curve: assume the ideal MC slope -1/2
+        slope = -0.5
+        icept = float(np.log(ee[fin][0]) + 0.5 * np.log(ss[fin][0])) \
+            if fin.any() else 0.0
+    spp_parity = float(np.exp((np.log(e_pg) - icept) / slope))
     print("[eval] ----------------------------------------")
     print(f"[eval] path-graph ({args.runs} x 1 spp, k={args.k}, "
           f"i={args.iters}) RMSE {e_pg:.4f} in {t_pg:.1f}s")
+    print(f"[eval] PT RMSE fit: log e = {icept:.3f} "
+          f"{slope:+.3f} log spp  ->  equal-RMSE PT spp ~= "
+          f"{spp_parity:.1f} ({spp_parity / args.runs:.1f}x the "
+          f"{args.runs} pg samples)")
     if match_spp:
-        print(f"[eval] PT needs ~{match_spp} spp for RMSE {match_err:.4f} "
-              f"(<= path-graph quality)")
-    else:
-        print("[eval] PT did not reach path-graph RMSE within 128 spp")
+        print(f"[eval] (measured: PT {match_spp} spp reaches RMSE "
+              f"{match_err:.4f} <= path-graph)")
+    result = {
+        "scene": args.scene, "width": width, "height": height,
+        "runs": args.runs, "k": args.k, "iters": args.iters,
+        "pg_rmse": round(e_pg, 5),
+        "pt_same_samples_rmse": round(e_pt, 5),
+        "pt_curve": [[int(s), round(e, 5)] for s, e in pt_curve],
+        "pt_spp_at_parity": round(spp_parity, 1),
+        "speedup_vs_pt": round(spp_parity / args.runs, 2),
+        "pg_seconds": round(t_pg, 1),
+    }
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"[eval] json -> {args.json_out}")
     print(f"[eval] outputs in {args.out}")
+    return result
 
 
 if __name__ == "__main__":
