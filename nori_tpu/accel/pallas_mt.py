@@ -56,6 +56,15 @@ FINE_T = 128
 #: granularity for streamed-scale scenes.
 STREAM_T = 512
 
+#: resident kernel: candidate tiles tested per while_loop iteration.
+#: The loop-carried scalar step (SMEM key fetch, cross-lane t_hi
+#: reduction, while_loop control) costs a large fraction of each
+#: ~FINE_T-tile visit; W-wide visits amortize it W-ways while keeping
+#: the candidate LIST exact at FINE_T granularity (the only waste is
+#: over-testing at the skyline exit boundary, < W-1 tiles per ray
+#: tile).  See bench notes in the module docstring.
+VISIT_W = 2
+
 
 def _mt_kernel(order_ref, scene_ref, tb_ref, entry_ref, tri_ref, ray_ref,
                t_ref, idx_ref, u_ref, v_ref,
@@ -239,7 +248,7 @@ def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
 def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
                         t_ref,
                         *, n_tt: int, idx_bits: int, any_hit: bool,
-                        use_mxu: bool):
+                        use_mxu: bool, visit_w: int = VISIT_W):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
@@ -326,45 +335,55 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
 
     def body(carry):
         k, t_hi, alive, bt, bi = carry
-        jj = oe_ref[i, k] & idx_mask
-        if use_mxu:
-            w = tri_ref[:, pl.ds(jj * 4 * FINE_T, 4 * FINE_T)]
-            prod = jax.lax.dot_general(
-                feats, w, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )                                   # (N, 4*FINE_T)
-            det = prod[:, 0 * FINE_T:1 * FINE_T]
-            un = prod[:, 1 * FINE_T:2 * FINE_T]
-            vn = prod[:, 2 * FINE_T:3 * FINE_T]
-            tn = prod[:, 3 * FINE_T:4 * FINE_T]
-            ok = jnp.abs(det) > 1e-8
-            r = 1.0 / jnp.where(ok, det, 1.0)
-            u = un * r
-            v = vn * r
-            t = tn * r
-            hit = (
-                ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                & (u + v <= 1.0) & (t >= mint) & (t <= maxt)
-            )
-        else:
-            tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
-            hit, t, u, v = _mt_block(
-                tris, ox, oy, oz, dx, dy, dz, mint, maxt)
-        tm = jnp.where(hit, t, jnp.inf)
-        tile_min = jnp.min(tm, axis=1, keepdims=True)
-        # ties break toward the lowest lane index; u/v are NOT selected
-        # here — the interaction fill recomputes them from the winning
-        # triangle (one row of the attribute gather it already does),
-        # which cuts the per-visit epilogue from 5 lane reductions to 2
-        is_min = (tm == tile_min) & hit
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, FINE_T), 1)
-        min_lane = jnp.min(
-            jnp.where(is_min, lane, jnp.int32(FINE_T)),
-            axis=1, keepdims=True)
-        better = tile_min < bt
-        bt = jnp.where(better, tile_min, bt)
-        bi = jnp.where(better, min_lane + jj * FINE_T, bi)
+        # W consecutive candidate ranks per iteration: the SMEM fetch /
+        # MT block / closest-hit fold repeat per rank, but the scalar
+        # while_loop step and the cross-lane t_hi reduction run ONCE.
+        # Ranks past the walk end clamp to the last key; at worst they
+        # re-test a tile already folded (idempotent) or a non-candidate
+        # tile (pure miss) — correct either way.
+        for w_i in range(visit_w):
+            kk = jnp.minimum(k + w_i, n_tt - 1) if w_i else k
+            jj = oe_ref[i, kk] & idx_mask
+            if use_mxu:
+                w = tri_ref[:, pl.ds(jj * 4 * FINE_T, 4 * FINE_T)]
+                prod = jax.lax.dot_general(
+                    feats, w, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                   # (N, 4*FINE_T)
+                det = prod[:, 0 * FINE_T:1 * FINE_T]
+                un = prod[:, 1 * FINE_T:2 * FINE_T]
+                vn = prod[:, 2 * FINE_T:3 * FINE_T]
+                tn = prod[:, 3 * FINE_T:4 * FINE_T]
+                ok = jnp.abs(det) > 1e-8
+                r = 1.0 / jnp.where(ok, det, 1.0)
+                u = un * r
+                v = vn * r
+                t = tn * r
+                hit = (
+                    ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                    & (u + v <= 1.0) & (t >= mint) & (t <= maxt)
+                )
+            else:
+                tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
+                hit, t, u, v = _mt_block(
+                    tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+            tm = jnp.where(hit, t, jnp.inf)
+            tile_min = jnp.min(tm, axis=1, keepdims=True)
+            # ties break toward the lowest lane index; u/v are NOT
+            # selected here — the interaction fill recomputes them from
+            # the winning triangle (one row of the attribute gather it
+            # already does), which cuts the per-visit epilogue from 5
+            # lane reductions to 2
+            is_min = (tm == tile_min) & hit
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_N, FINE_T), 1)
+            min_lane = jnp.min(
+                jnp.where(is_min, lane, jnp.int32(FINE_T)),
+                axis=1, keepdims=True)
+            better = tile_min < bt
+            bt = jnp.where(better, tile_min, bt)
+            bi = jnp.where(better, min_lane + jj * FINE_T, bi)
         if any_hit:
             live_n = live0 & (bi < 0)
             alive = jnp.any(live_n)
@@ -373,7 +392,7 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
         t_hi_n = t_hi_of(bt, live_n)
         if not any_hit:
             alive = t_hi_n > 0   # int bits: 0 == float 0.0
-        return k + 1, t_hi_n, alive, bt, bi
+        return k + visit_w, t_hi_n, alive, bt, bi
 
     t_hi0 = t_hi_of(bt0[:, :1], live0)
     alive0 = jnp.any(live0)
@@ -955,7 +974,7 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N,
 
 
 def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
-                   use_mxu: bool):
+                   use_mxu: bool, visit_w: int = VISIT_W):
     """One pallas_call of the resident kernel over all given rays.
 
     tris_op: (9, T) soup, or (10, 4*T) MXU weights when use_mxu.
@@ -971,7 +990,7 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
 
     kernel = functools.partial(
         _mt_resident_kernel, n_tt=n_tt, idx_bits=idx_bits,
-        any_hit=any_hit, use_mxu=use_mxu)
+        any_hit=any_hit, use_mxu=use_mxu, visit_w=visit_w)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed [order | sorted entry]
@@ -998,9 +1017,11 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "use_mxu"))
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "use_mxu", "visit_w"))
 def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
-                      any_hit: bool = False, use_mxu: bool = False):
+                      any_hit: bool = False, use_mxu: bool = False,
+                      visit_w: int = VISIT_W):
     """Resident-soup sweep; returns (t, idx) each (N,), idx == -1 miss.
 
     tris_op is the (9, T) soup, or SceneData.tri_mxu (10, 4*T) when
@@ -1021,12 +1042,13 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
         return _resident_call(tris_op, tile_bounds, rays_packed, any_hit,
-                              use_mxu)
+                              use_mxu, visit_w)
     outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _resident_call(
-            tris_op, tile_bounds, rays_packed[:, lo:hi], any_hit, use_mxu)
+            tris_op, tile_bounds, rays_packed[:, lo:hi], any_hit,
+            use_mxu, visit_w)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)

@@ -57,6 +57,25 @@ def test_resident_sweep_matches_brute(sd, rays):
         np.asarray(t)[v], np.asarray(oracle.t)[v], rtol=1e-5)
 
 
+@pytest.mark.parametrize("visit_w", [1, 2, 4])
+def test_resident_sweep_visit_widths(sd, rays, visit_w):
+    # W-wide candidate visits over-test at the walk boundary (clamped
+    # ranks re-test folded or non-candidate tiles); the fold must stay
+    # exact for every width
+    o, d, mint, maxt = rays
+    oracle = intersect_brute(sd, o, d, mint, maxt)
+    rp, n = pack_rays(o, d, mint, maxt)
+    t, idx = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rp,
+        visit_w=visit_w)
+    t, idx = t[:n], idx[:n]
+    v = np.asarray(oracle.valid)
+    assert np.array_equal(np.asarray(idx >= 0), v)
+    assert np.array_equal(np.asarray(idx)[v], np.asarray(oracle.tri)[v])
+    np.testing.assert_allclose(
+        np.asarray(t)[v], np.asarray(oracle.t)[v], rtol=1e-5)
+
+
 def test_resident_sweep_any_hit(sd, rays):
     o, d, mint, maxt = rays
     oracle = intersect_brute(sd, o, d, mint, maxt)
