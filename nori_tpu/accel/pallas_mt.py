@@ -771,12 +771,17 @@ def lane_mask_words(tile_bounds, rays_packed):
     return (h16[:, 0::2] << 16) | h16[:, 1::2]
 
 
-def _lane_key_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int,
-                     fbits: int):
-    """Per-LANE coherence sort key: the lane's first three candidate
-    tile indices bit-packed (fbits each, clamped).  Same slab math as
-    _entry_kernel; three masked min-reductions extract the indices.
-    One grid step covers 8 ray tiles (Mosaic needs output sublanes
+def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref, *,
+                     n_tt: int, n_tt_pad: int, fbits: int):
+    """Per-LANE coherence sort keys: the lane's first SIX candidate
+    tile indices bit-packed three-per-word (fbits each, clamped) into
+    two int32 words for a lexicographic (word0, word1) sort.  Measured
+    on the living-room bounce distribution, sorting by the first six
+    tiles reaches the exact-full-mask lexsort's union pair count (2.4x
+    fewer swept pairs than first3 alone) — the masks that agree on six
+    leading tiles agree almost everywhere.  Same slab math as
+    _entry_kernel; six masked min-reductions extract the indices.  One
+    grid step covers 8 ray tiles (Mosaic needs output sublanes
     divisible by 8)."""
     def row(i):
         return tb_ref[i, :].reshape(1, n_tt_pad)
@@ -809,34 +814,48 @@ def _lane_key_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        cand = (tn <= tf) & (tf >= mint) & (tn <= maxt) & live
-
         idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, n_tt_pad), 1)
+        # the PADDED tile rows (bmin=+inf, bmax=-inf) always pass the
+        # slab test (tn=-inf <= tf=+inf); mask them out or exhausted
+        # lanes pick phantom tiles >= n_tt as key fields
+        cand = ((tn <= tf) & (tf >= mint) & (tn <= maxt) & live
+                & (idx < n_tt))
         big = jnp.int32(n_tt_pad)
         cl = jnp.int32((1 << fbits) - 1)
-        t1_ = jnp.min(jnp.where(cand, idx, big), axis=1, keepdims=True)
-        t2_ = jnp.min(jnp.where(cand & (idx > t1_), idx, big), axis=1,
-                      keepdims=True)
-        t3_ = jnp.min(jnp.where(cand & (idx > t2_), idx, big), axis=1,
-                      keepdims=True)
-        key = (
-            (jnp.minimum(t1_, cl) << (2 * fbits))
-            | (jnp.minimum(t2_, cl) << fbits)
-            | jnp.minimum(t3_, cl)
+        prev = jnp.full((TILE_N, 1), -1, jnp.int32)
+        fields = []
+        for _ in range(6):
+            nxt = jnp.min(jnp.where(cand & (idx > prev), idx, big),
+                          axis=1, keepdims=True)
+            fields.append(nxt)
+            prev = nxt
+        key1 = (
+            (jnp.minimum(fields[0], cl) << (2 * fbits))
+            | (jnp.minimum(fields[1], cl) << fbits)
+            | jnp.minimum(fields[2], cl)
         )
-        out_ref[g, :] = key[:, 0]
+        key2 = (
+            (jnp.minimum(fields[3], cl) << (2 * fbits))
+            | (jnp.minimum(fields[4], cl) << fbits)
+            | jnp.minimum(fields[5], cl)
+        )
+        out_ref[g, :] = key1[:, 0]
+        out2_ref[g, :] = key2[:, 0]
 
 
 def lane_sort_keys(tile_bounds, rays_packed):
-    """(N,) int32 per-lane coherence key: first three candidate tiles
-    lexicographically packed (9-10 bits per field, < 2^30 so the
-    wavefront's KEY_IDLE/KEY_DONE sentinels still order last).
+    """Per-lane coherence sort keys: (key1, key2), each (N,) int32 —
+    the lane's first SIX candidate tile indices packed three-per-word
+    (9-10 bits per field, each word < 2^30 so the wavefront's
+    KEY_IDLE/KEY_DONE sentinels still order last) for a lexicographic
+    two-word sort.
 
     Measured on the 51.7k-tri living-room bounce distribution at 131k
-    lanes: 256-lane ray-tile candidate unions of 1305 pairs/ray vs
-    2221 for the exact-mask hash key and 342 for the per-lane ideal
-    (only 289 distinct keys arise); on its NEE shadow rays 1616 vs
-    4153 unsorted.  jnp fallback off-TPU.
+    lanes (256-lane ray tiles): first3 alone sweeps 17 candidate-tile
+    visits/ray, first6 reaches 7 — the exact-full-mask lexsort's count
+    (the per-lane ideal is 3); an exact multi-word sort needs a
+    27-operand lax.sort whose XLA compile time explodes (~20 min).
+    jnp fallback off-TPU.
     """
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
@@ -863,14 +882,20 @@ def lane_sort_keys(tile_bounds, rays_packed):
         idx = jnp.arange(n_tt, dtype=jnp.int32)[None, :]
         big = jnp.int32(n_tt_pad)
         cl = jnp.int32((1 << fbits) - 1)
-        t1_ = jnp.min(jnp.where(cand, idx, big), axis=1, keepdims=True)
-        t2_ = jnp.min(jnp.where(cand & (idx > t1_), idx, big), axis=1,
-                      keepdims=True)
-        t3_ = jnp.min(jnp.where(cand & (idx > t2_), idx, big), axis=1,
-                      keepdims=True)
-        return ((jnp.minimum(t1_, cl) << (2 * fbits))
-                | (jnp.minimum(t2_, cl) << fbits)
-                | jnp.minimum(t3_, cl))[:, 0]
+        prev = jnp.full((N, 1), -1, jnp.int32)
+        fields = []
+        for _ in range(6):
+            nxt = jnp.min(jnp.where(cand & (idx > prev), idx, big),
+                          axis=1, keepdims=True)
+            fields.append(nxt)
+            prev = nxt
+        key1 = ((jnp.minimum(fields[0], cl) << (2 * fbits))
+                | (jnp.minimum(fields[1], cl) << fbits)
+                | jnp.minimum(fields[2], cl))[:, 0]
+        key2 = ((jnp.minimum(fields[3], cl) << (2 * fbits))
+                | (jnp.minimum(fields[4], cl) << fbits)
+                | jnp.minimum(fields[5], cl))[:, 0]
+        return key1, key2
     tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
     tb = tb.at[:, 3:6].set(-jnp.inf)
     tb = tb.at[:n_tt].set(tile_bounds)
@@ -881,9 +906,9 @@ def lane_sort_keys(tile_bounds, rays_packed):
         filler = filler.at[6, :].set(1.0)
         filler = filler.at[7, :].set(-1.0)
         rays_packed = jnp.concatenate([rays_packed, filler], axis=1)
-    out = pl.pallas_call(
-        functools.partial(_lane_key_kernel, n_tt_pad=n_tt_pad,
-                          fbits=fbits),
+    out, out2 = pl.pallas_call(
+        functools.partial(_lane_key_kernel, n_tt=n_tt,
+                          n_tt_pad=n_tt_pad, fbits=fbits),
         grid=((n_rt + pad_rt) // 8,),
         in_specs=[
             pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),
@@ -891,13 +916,19 @@ def lane_sort_keys(tile_bounds, rays_packed):
             pl.BlockSpec((8, 8 * TILE_N), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TILE_N), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rt + pad_rt, TILE_N),
-                                       jnp.int32),
+        out_specs=[
+            pl.BlockSpec((8, TILE_N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rt + pad_rt, TILE_N), jnp.int32),
+            jax.ShapeDtypeStruct((n_rt + pad_rt, TILE_N), jnp.int32),
+        ],
         interpret=jax.default_backend() == "cpu",
     )(tb.T, rays_packed)
-    return out.reshape(-1)[:N]
+    return out.reshape(-1)[:N], out2.reshape(-1)[:N]
 
 
 def ray_tile_entry_keys(tile_bounds, rays_packed):

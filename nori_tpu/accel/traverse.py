@@ -258,10 +258,10 @@ def _occluded_pallas_sorted(scene, o, d, mint, maxt) -> jnp.ndarray:
     from nori_tpu.accel.pallas_mt import lane_sort_keys, pack_rays
 
     rays, n = pack_rays(o, d, mint, maxt)
-    keys = lane_sort_keys(scene.tri_tile_bounds, rays)
+    k1, k2 = lane_sort_keys(scene.tri_tile_bounds, rays)
     N = rays.shape[1]
     iota = jnp.arange(N, dtype=jnp.int32)
-    _, perm = jax.lax.sort((keys, iota), num_keys=1)
+    _, _, perm = jax.lax.sort((k1, k2, iota), num_keys=2)
     _, idx = _sweep_any(scene, rays[:, perm], any_hit=True)
     # undo the permutation by sorting the hit bits back by lane id
     _, hit = jax.lax.sort(

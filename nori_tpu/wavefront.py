@@ -321,12 +321,12 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         # identical or similar candidate sets become adjacent.  Small
         # scenes (<= 28 tiles) fit the mask in one int32 key computed
         # with cheap jnp slab tests (cbox: 2.2k -> 0.59k pairs/ray).
-        # Bigger scenes compare the mask words LEXICOGRAPHICALLY
-        # (multi-operand sort; masks from a Pallas kernel since the
-        # jnp form materializes (N, n_tt, 3) broadcasts in HBM) — on
-        # the 51.7k-tri living room this beats a morton+octant key
-        # 3.9x (938 vs 3701 pairs/ray; hierarchical first-tile keys
-        # measured useless at 4102).
+        # Bigger scenes sort by the first SIX candidate tile indices
+        # (two packed int32 words, lexicographic lax.sort; keys from a
+        # Pallas kernel since the jnp form materializes (N, n_tt, 3)
+        # broadcasts in HBM) — on the 51.7k-tri living room first6
+        # matches the exact-mask lexsort (7 tile-visits/ray vs 17 for
+        # first3 and 29 for morton+octant; per-lane ideal 3).
         n_tt_s = int(sd.tri_tile_bounds.shape[0])
         if sort_rays and n_tt_s <= 28:
             invd = 1.0 / jnp.where(
@@ -351,22 +351,25 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
             perm = jnp.argsort(key)
         elif sort_rays:
-            # Bigger scenes: the lane's FIRST THREE candidate tile
-            # indices packed lexicographically into one int32.  Groups
-            # lanes whose candidate walks start identically — measured
-            # on the living-room bounce distribution this sweeps 1305
-            # union pairs/ray vs 2221 for an exact-mask hash key (and
-            # 342 for the per-lane ideal); an exact multi-word
-            # lexicographic sort (938) needs a multi-operand sort whose
-            # XLA compile time explodes (~20 min).
+            # Bigger scenes: the lane's FIRST SIX candidate tile
+            # indices packed three-per-int32, sorted lexicographically
+            # as a two-key lax.sort.  Groups lanes whose candidate
+            # walks start identically — measured on the living-room
+            # bounce distribution first6 reaches the exact-full-mask
+            # lexsort's union count (7 tile-visits/ray vs 17 for
+            # first3, per-lane ideal 3); the exact multi-word sort
+            # itself needs a 27-operand lax.sort whose XLA compile
+            # time explodes (~20 min).
             from nori_tpu.accel.pallas_mt import (
                 lane_sort_keys, pack_rays)
 
             rays_p, _ = pack_rays(o, d, mint, maxt)
-            skey = lane_sort_keys(sd.tri_tile_bounds, rays_p)[:N]
+            sk1, sk2 = lane_sort_keys(sd.tri_tile_bounds, rays_p)
+            sk1, sk2 = sk1[:N], sk2[:N]
             key = jnp.where(
-                done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
-            perm = jnp.argsort(key)
+                done, KEY_DONE, jnp.where(active, sk1, KEY_IDLE))
+            iota = jnp.arange(N, dtype=jnp.int32)
+            _, _, perm = jax.lax.sort((key, sk2, iota), num_keys=2)
         else:
             key = jnp.where(
                 done, KEY_DONE,

@@ -125,13 +125,14 @@ def test_lane_sort_key_kernel_matches_jnp(sd, rays):
 
     o, d, mint, maxt = rays
     rp, n = pack_rays(o, d, mint, maxt)
-    ref = lane_sort_keys(sd.tri_tile_bounds, rp)
+    ref1, ref2 = lane_sort_keys(sd.tri_tile_bounds, rp)
     config.FORCE_PALLAS_INTERPRET = True
     try:
-        got = lane_sort_keys(sd.tri_tile_bounds, rp)
+        got1, got2 = lane_sort_keys(sd.tri_tile_bounds, rp)
     finally:
         config.FORCE_PALLAS_INTERPRET = False
-    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    assert np.array_equal(np.asarray(ref1), np.asarray(got1))
+    assert np.array_equal(np.asarray(ref2), np.asarray(got2))
 
 
 def test_occluded_presort_matches_plain(sd, rays):
