@@ -149,6 +149,24 @@ def test_living_room_scene_renders():
     assert img.mean() > 0.02  # lit interior
 
 
+def test_big_scene_sort_is_pure_permutation():
+    """The >28-tile first6 two-word coherence sort (the living-room
+    production path) must not change a single sample: the record log +
+    finalize restore work-item order, so sorted and unsorted renders
+    are bit-identical."""
+    from nori_tpu.scenes_builtin import living_room
+    from nori_tpu.wavefront import render_wavefront
+    import numpy as np
+
+    scene = living_room(width=32, height=32, spp=2, detail=3)
+    assert scene.compile().tri_tile_bounds.shape[0] > 28
+    a, _ = render_wavefront(scene, n_lanes=2048, seed=5, sort_rays=True)
+    scene2 = living_room(width=32, height=32, spp=2, detail=3)
+    b, _ = render_wavefront(scene2, n_lanes=2048, seed=5,
+                            sort_rays=False)
+    assert np.array_equal(a, b)
+
+
 def test_wavefront_checkpoint_resume(tmp_path):
     """An interrupted render resumed from its checkpoint produces the
     SAME image bit-for-bit (chunks are independent; the counter-based
