@@ -29,6 +29,12 @@ def main(argv=None):
                     help="EXR viewer mode: scale by 2^exposure before "
                          "the sRGB tonemap (the GUI slider, "
                          "src/gui.cpp:36-42)")
+    ap.add_argument("--view", action="store_true",
+                    help="terminal display: live half-block film view "
+                         "while rendering, interactive exposure-key "
+                         "viewer for .exr input (the NoriScreen "
+                         "equivalent on a display-less TPU host, "
+                         "src/gui.cpp:19-132)")
     args = ap.parse_args(argv)
 
     ext = os.path.splitext(args.input)[1].lower()
@@ -37,6 +43,11 @@ def main(argv=None):
 
         img = read_exr(args.input) * (2.0 ** args.exposure)
         out = args.output or os.path.splitext(args.input)[0]
+        if args.view:
+            from nori_tpu.tui import interactive
+
+            interactive(img, save_base=out + "_view")
+            return 0
         write_png(out + ".png", img)
         print(f"Wrote {out}.png")
         return 0
@@ -63,9 +74,16 @@ def main(argv=None):
             print(root.to_string())
         img, stats = render_to_files(
             root, out, spp=args.spp, seed=args.seed,
-            verbose=not args.quiet, preview=args.preview,
-            checkpoint=args.checkpoint,
+            verbose=not args.quiet and not args.view,
+            preview=args.preview, checkpoint=args.checkpoint,
+            view=args.view,
         )
+        if args.view:
+            from nori_tpu.tui import interactive
+
+            # keep the finished film on screen with the exposure keys
+            # (NoriScreen stays open after rendering)
+            interactive(img, save_base=out + "_view")
         print(
             f"Rendered {stats['pixels']} px x {stats['spp']} spp in "
             f"{stats['seconds']:.2f}s "

@@ -163,7 +163,8 @@ def render(scene, spp: int | None = None, seed: int = 0,
 
 def render_to_files(scene, out_base: str, spp: int | None = None,
                     seed: int = 0, verbose: bool = False,
-                    preview: bool = False, checkpoint: bool = False):
+                    preview: bool = False, checkpoint: bool = False,
+                    view: bool = False):
     """Render and write <base>.exr + tonemapped <base>.png
     (src/main.cpp:140-150).
 
@@ -171,9 +172,18 @@ def render_to_files(scene, out_base: str, spp: int | None = None,
     (nori_tpu.wavefront) — the production path; other integrators
     (normals/simple/ao/whitted) use the plain batched pass.
     checkpoint dumps resumable render state at <base>.ckpt after every
-    chunk (removed on completion).
+    chunk (removed on completion).  view draws the film live in the
+    terminal after every chunk (nori_tpu.tui — the NoriScreen
+    equivalent, src/gui.cpp:19-132).
     """
     from nori_tpu.bitmap import write_exr, write_png
+
+    on_chunk = None
+    if view:
+        from nori_tpu.tui import live_view
+
+        def on_chunk(img, frac):
+            live_view(img, status=f"rendering... {100 * frac:.0f}%")
 
     if scene.integrator.plugin_name in (
             "path", "path_mats", "path_ems", "path_mis"):
@@ -182,9 +192,12 @@ def render_to_files(scene, out_base: str, spp: int | None = None,
         img, stats = render_wavefront(
             scene, spp=spp, seed=seed, verbose=verbose,
             preview_path=(out_base + "_preview.png") if preview else None,
-            checkpoint_path=(out_base + ".ckpt") if checkpoint else None)
+            checkpoint_path=(out_base + ".ckpt") if checkpoint else None,
+            on_chunk=on_chunk)
     else:
         img, stats = render(scene, spp=spp, seed=seed, verbose=verbose)
+        if on_chunk is not None:
+            on_chunk(np.asarray(img), 1.0)
     write_exr(out_base + ".exr", img)
     write_png(out_base + ".png", img)
     return img, stats

@@ -584,7 +584,8 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
                      verbose: bool = False, sort_rays: bool | None = None,
                      preview_path: str | None = None,
                      checkpoint_path: str | None = None,
-                     max_chunks: int | None = None):
+                     max_chunks: int | None = None,
+                     on_chunk=None):
     """Render a path-family scene with the persistent wavefront.
 
     checkpoint_path: dump (film accumulator, next chunk cursor, ray
@@ -595,6 +596,8 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     analogue of the path-graph stage file contract
     (src/pathgraph.cpp:8-196).  max_chunks bounds how many chunks this
     CALL renders (time-sliced rendering through a flaky link).
+    on_chunk: optional callback(partial_img, fraction_done) fired
+    after every chunk — the live-display hook (nori_tpu.tui).
 
     Returns ((H, W, 3) numpy image, stats); with max_chunks, the image
     is the partial accumulation so far and stats["done"] says whether
@@ -693,6 +696,12 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
             from nori_tpu.bitmap import write_png
 
             write_png(preview_path, np.asarray(finalize(film)))
+        if on_chunk is not None:
+            # live-display hook (nori_tpu.tui.live_view): called with
+            # the tonemappable partial image and the completed-chunk
+            # fraction after every chunk
+            on_chunk(np.asarray(finalize(film)),
+                     (q0 + chunk) / max(total_q, 1))
         if verbose:
             film.block_until_ready()
             print(f"  chunk {q0 // chunk + 1}/"
