@@ -105,6 +105,126 @@ def live_view(img: np.ndarray, status: str = "",
     out.flush()
 
 
+def _rotation(yaw: float, pitch: float) -> np.ndarray:
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    ry = np.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    rx = np.array([[1.0, 0.0, 0.0], [0.0, cp, -sp], [0.0, sp, cp]])
+    return rx @ ry
+
+
+def point_cloud_image(points: np.ndarray, width: int, height: int,
+                      yaw: float = 0.0, pitch: float = 0.0,
+                      zoom: float = 1.0, lines=None) -> np.ndarray:
+    """Orthographic point-cloud render: (N, 2|3) points rotated by
+    (yaw, pitch), density-splatted white-on-black, with optional
+    warped-grid polylines drawn in red — the warptest arcball scene
+    (src/warptest.cpp:73-119) as a linear RGB image.
+    """
+    def to3(a):
+        a = np.asarray(a, dtype=np.float64)
+        if a.shape[1] == 2:
+            a = np.concatenate([a, np.zeros((a.shape[0], 1))], axis=1)
+        return a
+
+    pts = to3(points)
+    lines3 = [to3(ln) for ln in (lines or [])]
+    allp = np.concatenate([pts] + lines3) if lines3 else pts
+    center = 0.5 * (allp.min(axis=0) + allp.max(axis=0))
+    radius = max(float(np.max(np.linalg.norm(allp - center, axis=1))),
+                 1e-9)
+    rot = _rotation(yaw, pitch)
+
+    def to_px(p):
+        q = (p - center) @ rot.T
+        s = zoom * 0.45 * min(width, height) / radius
+        xi = np.round(q[:, 0] * s + width / 2).astype(int)
+        yi = np.round(height / 2 - q[:, 1] * s).astype(int)
+        ok = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        return xi[ok], yi[ok]
+
+    img = np.zeros((height, width, 3), dtype=np.float32)
+    dens = np.zeros((height, width), dtype=np.float32)
+    xi, yi = to_px(pts)
+    np.add.at(dens, (yi, xi), 1.0)
+    peak = np.percentile(dens[dens > 0], 95.0) if dens.any() else 1.0
+    img[:, :, :] = np.minimum(dens / max(peak, 1e-9), 1.0)[:, :, None]
+    for ln in lines3:
+        # densify segments so rotated lines stay connected
+        ln = np.concatenate(
+            [np.linspace(a, b, 8) for a, b in zip(ln[:-1], ln[1:])])
+        xi, yi = to_px(ln)
+        img[yi, xi] = np.array([1.0, 0.15, 0.15], dtype=np.float32)
+    return img
+
+
+def arcball(points: np.ndarray, lines=None, title: str = "",
+            out=None) -> None:
+    """Interactive terminal point-cloud viewer — the warptest arcball
+    (src/warptest.cpp:73-119): arrow keys / hjkl rotate, +/- zoom,
+    0 resets, q/ESC quits.  Non-TTY: prints one frame and returns."""
+    out = out or sys.stdout
+    yaw, pitch, zoom = 0.6, 0.45, 1.0
+
+    def draw():
+        cols, rows = _term_size()
+        img = point_cloud_image(points, cols, 2 * rows,
+                                yaw=yaw, pitch=pitch, zoom=zoom,
+                                lines=lines)
+        frame = ansi_frame(img, cols, rows)
+        out.write(_CSI + "H" + _CSI + "2J" + frame + "\n"
+                  + f"{title}  yaw {yaw:+.2f} pitch {pitch:+.2f} "
+                  f"zoom {zoom:.2f}  [arrows/hjkl rotate, +/- zoom, "
+                  f"0 reset, q quit]" + _CSI + "0K\n")
+        out.flush()
+
+    if not (hasattr(sys.stdin, "fileno") and sys.stdin.isatty()):
+        draw()
+        return
+
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    saved = termios.tcgetattr(fd)
+    out.write(_CSI + "?1049h" + _CSI + "?25l")
+    try:
+        tty.setcbreak(fd)
+        step = 0.15
+        while True:
+            draw()
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":                  # ESC or arrow sequence
+                import select
+
+                if select.select([fd], [], [], 0.05)[0]:
+                    seq = sys.stdin.read(2)
+                    ch = {"[A": "k", "[B": "j",
+                          "[C": "l", "[D": "h"}.get(seq, "")
+                else:
+                    break
+            if ch in ("q", "Q"):
+                break
+            elif ch == "h":
+                yaw -= step
+            elif ch == "l":
+                yaw += step
+            elif ch == "k":
+                pitch -= step
+            elif ch == "j":
+                pitch += step
+            elif ch in ("+", "="):
+                zoom *= 1.25
+            elif ch in ("-", "_"):
+                zoom /= 1.25
+            elif ch == "0":
+                yaw, pitch, zoom = 0.6, 0.45, 1.0
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, saved)
+        out.write(_CSI + "?25h" + _CSI + "?1049l")
+        out.flush()
+
+
 def interactive(img: np.ndarray, save_base: str = "nori_view",
                 out=None) -> float:
     """Interactive viewer: -/+ (or =/_) step exposure by half a stop

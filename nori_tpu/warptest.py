@@ -4,8 +4,10 @@ Port of the warptest application's CLI half (src/warptest.cpp:968-1007;
 test core :121-227): histogram `1000 * res` samples pushed through a
 warp (or the microfacet BRDF) and chi^2-compare against the claimed pdf
 integrated over the bins; exit code 0/1 for scripting.  The nanogui
-point-cloud visualizer half is replaced by an optional matplotlib
-scatter dump (--plot out.png) — no GL on TPU hosts — with the GUI's
+point-cloud visualizer half is replaced by an interactive terminal
+arcball (--view: ANSI half-block point cloud with rotate/zoom keys,
+nori_tpu.tui) and an optional matplotlib scatter dump (--plot
+out.png) — no GL on TPU hosts — with the GUI's
 point-sampling modes (src/warptest.cpp:73-77, 283-293):
 independent | grid ((x+.5)/sqrt(n)) | stratified ((x+xi)/sqrt(n)),
 plus the warped-gridline overlay (--grid-lines) that draws the image
@@ -192,10 +194,27 @@ def main(argv=None):
     ap.add_argument("--grid-lines", action="store_true",
                     help="overlay the warped image of a regular grid")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--view", action="store_true",
+                    help="interactive terminal point-cloud viewer "
+                         "(rotate/zoom keys — the arcball GUI, "
+                         "src/warptest.cpp:73-119)")
     args = ap.parse_args(argv)
 
     passed, msg, pts = run_warp_test(
         args.warp, args.param, args.param2, args.seed)
+    if args.view:
+        from nori_tpu.tui import arcball
+
+        vpts = pts
+        if args.mode != "independent" and args.warp in W.WARPS:
+            u = _mode_samples(64 * 64, args.mode, args.seed)
+            vpts = warp_points(args.warp, u, args.param)
+        arcball(
+            vpts,
+            lines=(grid_lines(args.warp, args.param)
+                   if args.grid_lines and args.warp in W.WARPS
+                   else None),
+            title=f"{args.warp} [{args.mode}] ({len(vpts)} samples)")
     if args.plot:
         import matplotlib
         matplotlib.use("Agg")

@@ -58,6 +58,33 @@ def test_interactive_non_tty_prints_one_frame():
     assert "▀" in buf.getvalue()
 
 
+def test_point_cloud_image_projects_and_rotates():
+    rs = np.random.RandomState(3)
+    pts = rs.normal(size=(2000, 3))
+    a = tui.point_cloud_image(pts, 64, 64)
+    b = tui.point_cloud_image(pts, 64, 64, yaw=1.0, pitch=0.5)
+    assert a.shape == (64, 64, 3) and a.max() > 0
+    assert not np.allclose(a, b)          # rotation changes the view
+    # 2D points accepted (disk/square warps)
+    c = tui.point_cloud_image(rs.rand(500, 2), 48, 48)
+    assert c.max() > 0
+
+
+def test_point_cloud_lines_drawn_red():
+    pts = np.zeros((4, 3))
+    line = np.array([[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    img = tui.point_cloud_image(pts, 32, 32, lines=[line])
+    red = (img[:, :, 0] > 0.9) & (img[:, :, 1] < 0.3)
+    assert red.any()
+
+
+def test_arcball_non_tty_prints_one_frame():
+    buf = io.StringIO()
+    tui.arcball(np.random.RandomState(0).normal(size=(100, 3)),
+                title="t", out=buf)
+    assert "▀" in buf.getvalue()
+
+
 def test_render_to_files_view_hook(tmp_path):
     # the --view plumbing: on_chunk fires with a finalized image
     from nori_tpu.render import render_to_files
