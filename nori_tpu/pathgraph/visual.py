@@ -99,6 +99,110 @@ def phase_grid(g, phases: dict, out_path: str, exposure: float = 1.0):
     return out_path
 
 
+def interactive_view(g, exposure: float = 1.0, out=None):
+    """Terminal path-graph screen (src/visual.cpp:146-258): the
+    first-hit image with a movable pick cursor and phase toggling.
+
+    keys: arrows/hjkl move the cursor, x cycles the radiance phase
+    (eLi / eLd / emission), -/+ exposure, Enter/p opens the picked
+    pixel's light paths in the arcball point-cloud viewer
+    (click-to-pick + path polyline), q quits.  Non-TTY: prints one
+    frame and returns.
+    """
+    import sys
+
+    from nori_tpu import tui
+    from nori_tpu.pathgraph.pg import _splat_first_hits
+
+    lem = np.asarray(g.lps["L_em"])
+    phases = [
+        ("eLi+em", np.asarray(g.sps["eLi"]) + lem),
+        ("eLd+em", np.asarray(g.sps["eLd"]) + lem),
+        ("emission", lem),
+    ]
+    imgs = [(name, _splat_first_hits(g, v)[0]) for name, v in phases]
+    h, w = imgs[0][1].shape[:2]
+    cx, cy, phase = w // 2, h // 2, 0
+    ostream = out or sys.stdout
+
+    def compose():
+        name, img = imgs[phase]
+        view = img * exposure
+        # full-row/column crosshair survives the terminal downscale
+        t = max(1, h // 200)
+        view = view.copy()
+        view[max(0, cy - t):cy + t + 1, :] = [0.0, 1.0, 0.1]
+        view[:, max(0, cx - t):cx + t + 1] = [0.0, 1.0, 0.1]
+        return name, view
+
+    def draw():
+        name, view = compose()
+        tui.live_view(view, status=(
+            f"phase {name}  pick ({cx}, {cy})  exposure x{exposure:.2f}"
+            f"  [arrows/hjkl move, x phase, -/+ exposure, "
+            f"Enter pick, q quit]"), out=ostream)
+
+    if not (hasattr(sys.stdin, "fileno") and sys.stdin.isatty()):
+        draw()
+        return
+
+    import select
+    import termios
+    import tty
+
+    pos = np.asarray(g.sps["pos"])
+    fd = sys.stdin.fileno()
+    saved = termios.tcgetattr(fd)
+    ostream.write("\x1b[?1049h\x1b[?25l")
+    try:
+        tty.setcbreak(fd)
+        step = max(1, min(w, h) // 50)
+        while True:
+            draw()
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":
+                if select.select([fd], [], [], 0.05)[0]:
+                    seq = sys.stdin.read(2)
+                    ch = {"[A": "k", "[B": "j",
+                          "[C": "l", "[D": "h"}.get(seq, "")
+                else:
+                    break
+            if ch in ("q", "Q"):
+                break
+            elif ch == "h":
+                cx = max(0, cx - step)
+            elif ch == "l":
+                cx = min(w - 1, cx + step)
+            elif ch == "k":
+                cy = max(0, cy - step)
+            elif ch == "j":
+                cy = min(h - 1, cy + step)
+            elif ch == "x":
+                phase = (phase + 1) % len(imgs)
+            elif ch in ("+", "="):
+                exposure *= 1.4142
+            elif ch in ("-", "_"):
+                exposure /= 1.4142
+            elif ch in ("\r", "\n", "p"):
+                sel = np.nonzero(
+                    (g.paths["xIdx"] == cx) & (g.paths["yIdx"] == cy)
+                    & (g.paths["numOfPathPoints"] > 0))[0]
+                polys = []
+                for pi in sel:
+                    f0 = int(g.paths["firstPathPointIdx"][pi])
+                    n = int(g.paths["numOfPathPoints"][pi])
+                    polys.append(pos[f0:f0 + n])
+                stride = max(1, len(pos) // 30_000)
+                tui.arcball(
+                    pos[::stride], lines=polys,
+                    title=f"paths through ({cx}, {cy}): {len(polys)}",
+                    out=ostream)
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, saved)
+        ostream.write("\x1b[?25h\x1b[?1049l")
+        ostream.flush()
+
+
 def main(argv=None):
     """CLI: offline equivalents of the interactive viewer's
     interactions (src/visual.cpp:146-778) — load a dump, render the
@@ -117,6 +221,11 @@ def main(argv=None):
     ap.add_argument("--phases", action="store_true",
                     help="phase-toggle grid (eLi / eLd / emission)")
     ap.add_argument("--exposure", type=float, default=1.0)
+    ap.add_argument("--view", action="store_true",
+                    help="interactive terminal screen: phase toggles, "
+                         "cursor picking, path polylines in the "
+                         "arcball cloud (the nanogui viewer's "
+                         "interactions, src/visual.cpp:146-258)")
     ap.add_argument("-o", "--output", default=None,
                     help="output basename (default: dump prefix)")
     args = ap.parse_args(argv)
@@ -125,6 +234,9 @@ def main(argv=None):
 
     g = load_path_graph(args.base)
     out = args.output or args.base
+    if args.view:
+        interactive_view(g, exposure=args.exposure)
+        return 0
     written = []
     eli = np.asarray(g.sps["eLi"])
     written.append(point_cloud(

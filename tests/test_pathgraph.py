@@ -258,3 +258,17 @@ def test_visual_cli(small_graph, tmp_path):
     assert rc == 0
     for suffix in ("_cloud.png", "_pick.png", "_phases.png"):
         assert os.path.getsize(base + suffix) > 0
+
+
+def test_interactive_view_non_tty_frame(small_graph):
+    """--view terminal screen: non-TTY fallback draws one half-block
+    frame with the phase/cursor status line (visual.cpp:146-258)."""
+    import io
+
+    from nori_tpu.pathgraph import visual
+
+    g, _ = small_graph
+    buf = io.StringIO()
+    visual.interactive_view(g, out=buf)
+    s = buf.getvalue()
+    assert "▀" in s and "phase eLi+em" in s and "pick (" in s
