@@ -517,7 +517,7 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
         num_scalar_prefetch=1,
         grid=(n_rt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # soup stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # soup stays in HBM
             pl.BlockSpec((8, TILE_N), lambda i, *pref: (0, i),
                          memory_space=pltpu.VMEM),
         ],
