@@ -75,6 +75,13 @@ def main():
         assert ref.shape[:2] == (height, width), \
             f"reference {ref.shape} != scene {height}x{width}"
         print(f"[eval] reference loaded from {args.ref_exr}")
+    elif os.path.exists(os.path.join(args.out, "reference.exr")):
+        from nori_tpu.bitmap import read_exr
+
+        ref = read_exr(os.path.join(args.out, "reference.exr"))
+        assert ref.shape[:2] == (height, width), \
+            f"stale reference {ref.shape} != scene {height}x{width}"
+        print("[eval] reference resumed from earlier run")
     else:
         t0 = time.time()
         ref, st = render_wavefront(scene, spp=args.ref_spp, seed=999)
@@ -84,9 +91,24 @@ def main():
         write_png(os.path.join(args.out, "reference.png"), ref)
 
     # ---- path-graph runs ------------------------------------------------
+    # Each run's splatted images are checkpointed to <out>/run_NNN.npz
+    # so an interrupted protocol-scale evaluation (hours of work)
+    # resumes instead of restarting — the render-side analogue of the
+    # fork's stage-file reuse (src/pathgraph.cpp:8-196).
     pg_fulls, pt_fulls = [], []
     t_pg = 0.0
     for run in range(args.runs):
+        ck = os.path.join(args.out, f"run_{run:03d}.npz")
+        if os.path.exists(ck):
+            d = np.load(ck)
+            if (d["width"] == width and d["height"] == height
+                    and d["k"] == args.k and d["iters"] == args.iters):
+                pg_fulls.append(d["pg"])
+                pt_fulls.append(d["pt"])
+                t_pg += float(d["seconds"])
+                print(f"[eval] run {run + 1}/{args.runs}: resumed "
+                      f"from {ck}")
+                continue
         t0 = time.time()
         g = trace_dump(scene, max_depth=args.max_depth, seed=run)
         gp = GraphPoints(g.sps)
@@ -109,6 +131,12 @@ def main():
         pt_img, _ = _splat_first_hits(g, eLi + lem)
         pg_fulls.append(full_img)
         pt_fulls.append(pt_img)
+        tmp = ck + ".tmp.npz"
+        np.savez(tmp, pg=full_img.astype(np.float32),
+                 pt=pt_img.astype(np.float32),
+                 width=width, height=height, k=args.k,
+                 iters=args.iters, seconds=time.time() - t0)
+        os.replace(tmp, ck)
         print(f"[eval] run {run + 1}/{args.runs}: "
               f"{g.num_points} points, {time.time() - t0:.1f}s")
 
@@ -130,10 +158,26 @@ def main():
     # log(e) = a - 0.5 log(spp) fit to the measurements (the fork's
     # refDict records exactly this observable, python/utils.py:168-181).
     pt_curve = []
+    curve_ck = os.path.join(args.out, "pt_curve.json")
+    done_spp = {}
+    if os.path.exists(curve_ck):
+        import json as _json
+
+        with open(curve_ck) as f:
+            done_spp = {int(s): float(e)
+                        for s, e in _json.load(f).items()}
     match_spp, match_err = None, None
     for spp in (1, 2, 4, 8, 16, 32, 64, 128):
-        img, _ = render_wavefront(scene, spp=spp, seed=7)
-        e = rmse(img, ref, clamp=10.0)
+        if spp in done_spp:
+            e = done_spp[spp]
+        else:
+            img, _ = render_wavefront(scene, spp=spp, seed=7)
+            e = rmse(img, ref, clamp=10.0)
+            done_spp[spp] = e
+            import json as _json
+
+            with open(curve_ck, "w") as f:
+                _json.dump({str(s): v for s, v in done_spp.items()}, f)
         pt_curve.append((spp, e))
         print(f"[eval] PT {spp} spp -> RMSE {e:.4f}")
         if match_spp is None and e <= e_pg:
