@@ -60,7 +60,51 @@ def _bench_scene(scene, spp, n_lanes=131072):
     }
 
 
+def _emit_unavailable(err: str) -> None:
+    print(json.dumps({
+        "metric": "mrays_per_sec_living_room",
+        "value": 0.0,
+        "unit": "Mrays/s (single chip)",
+        "vs_baseline": 0.0,
+        "error": f"TPU backend unavailable: {err}",
+    }), flush=True)
+
+
+def _attach_backend(timeout_s: int):
+    """Bounded in-process backend attach.
+
+    The axon tunnel sometimes hangs attach attempts for 15+ minutes
+    (observed 2026-08-17: a wedged claim made every attach block and
+    then fail UNAVAILABLE).  A watchdog thread turns that failure mode
+    into a fast, explicit bench error instead of an indefinite hang
+    with no JSON at all.  The attach happens on the MAIN thread so a
+    healthy session is reused by the bench itself (a probe subprocess
+    would need a second claim on the single-client tunnel).
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            _emit_unavailable(f"backend attach exceeded {timeout_s}s")
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        import jax
+
+        jax.devices()
+    except Exception as e:
+        done.set()
+        _emit_unavailable(str(e).splitlines()[0])
+        raise SystemExit(2)
+    done.set()
+
+
 def main():
+    _attach_backend(int(os.environ.get("BENCH_ATTACH_TIMEOUT", "1200")))
+
     from nori_tpu.scenes_builtin import living_room, cornell_box
 
     breakdown = {}
