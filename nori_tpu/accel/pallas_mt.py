@@ -772,17 +772,28 @@ def lane_mask_words(tile_bounds, rays_packed):
 
 
 def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref, *,
-                     n_tt: int, n_tt_pad: int, fbits: int):
-    """Per-LANE coherence sort keys: the lane's first SIX candidate
-    tile indices bit-packed three-per-word (fbits each, clamped) into
-    two int32 words for a lexicographic (word0, word1) sort.  Measured
-    on the living-room bounce distribution, sorting by the first six
-    tiles reaches the exact-full-mask lexsort's union pair count (2.4x
-    fewer swept pairs than first3 alone) — the masks that agree on six
-    leading tiles agree almost everywhere.  Same slab math as
-    _entry_kernel; six masked min-reductions extract the indices.  One
-    grid step covers 8 ray tiles (Mosaic needs output sublanes
-    divisible by 8)."""
+                     n_tt: int, n_tt_pad: int):
+    """Per-LANE coherence sort keys ("front + coarse"):
+
+      key1 = (first candidate tile index << 20) | exact candidate
+             bitmask of the next 20 tiles, read from the mantissa of
+             s = sum_j cand_j * 2^-(idx_j - first1) — each candidate
+             lands on its own mantissa bit (powers of two built by
+             exponent bit-twiddling, no transcendentals);
+      key2 = 30-bit coarse OR-mask over the WHOLE tile range
+             (ceil(n_tt_pad/30)-tile groups; per-group candidate
+             counts from one MXU matmul against a one-hot group
+             matrix, bit = count > 0).
+
+    The coarse word is what makes this work in the evolved steady
+    state: a front-window-only key conflates rays that share an
+    origin cluster but diverge later (measured: 36 union
+    tiles/ray-tile vs 8), while first+fine+coarse reaches 8.1 —
+    slightly better than the old first6-indices scheme (8.3) at half
+    its extraction cost (full MIS step on the 51.7k-tri living room
+    at 131k lanes: 20.2 ms vs 23.0 ms).  Same slab math as
+    _entry_kernel.  One grid step covers 8 ray tiles (Mosaic needs
+    output sublanes divisible by 8)."""
     def row(i):
         return tb_ref[i, :].reshape(1, n_tt_pad)
 
@@ -821,46 +832,57 @@ def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref, *,
         cand = ((tn <= tf) & (tf >= mint) & (tn <= maxt) & live
                 & (idx < n_tt))
         big = jnp.int32(n_tt_pad)
-        cl = jnp.int32((1 << fbits) - 1)
-        prev = jnp.full((TILE_N, 1), -1, jnp.int32)
-        fields = []
-        for _ in range(6):
-            nxt = jnp.min(jnp.where(cand & (idx > prev), idx, big),
-                          axis=1, keepdims=True)
-            fields.append(nxt)
-            prev = nxt
-        key1 = (
-            (jnp.minimum(fields[0], cl) << (2 * fbits))
-            | (jnp.minimum(fields[1], cl) << fbits)
-            | jnp.minimum(fields[2], cl)
-        )
-        key2 = (
-            (jnp.minimum(fields[3], cl) << (2 * fbits))
-            | (jnp.minimum(fields[4], cl) << fbits)
-            | jnp.minimum(fields[5], cl)
-        )
-        out_ref[g, :] = key1[:, 0]
-        out2_ref[g, :] = key2[:, 0]
+        first1 = jnp.min(jnp.where(cand, idx, big), axis=1,
+                         keepdims=True)
+        # fine window: weight 2^-(idx-first1) as exact exponent bits;
+        # clamped so offsets past the mantissa (or junk from
+        # non-candidates) stay finite — they round away against the
+        # leading 1.0
+        e = jnp.clip(127 - (idx - first1), 1, 254)
+        w = jax.lax.bitcast_convert_type(e << 23, jnp.float32)
+        s = jnp.sum(jnp.where(cand, w, 0.0), axis=1, keepdims=True)
+        fwd = (jax.lax.bitcast_convert_type(s, jnp.int32) >> 3) \
+            & 0xFFFFF
+        k1 = (jnp.minimum(first1, jnp.int32(1023)) << 20) | fwd
+        # coarse OR-mask over all tiles: per-group candidate counts
+        # via one MXU matmul (Mosaic has no 3-D reshape), bit = >0
+        gsz = -(-n_tt_pad // 30)
+        n_grp = -(-n_tt_pad // gsz)
+        tile_i = jax.lax.broadcasted_iota(
+            jnp.int32, (n_tt_pad, n_grp), 0)
+        grp_i = jax.lax.broadcasted_iota(
+            jnp.int32, (n_tt_pad, n_grp), 1)
+        G = jnp.where(tile_i // gsz == grp_i, 1.0, 0.0)
+        counts = jax.lax.dot_general(
+            cand.astype(jnp.float32), G, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gc = (counts > 0.0).astype(jnp.int32)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, n_grp), 1)
+        k2 = jnp.sum(gc << jnp.maximum(29 - gi, 0), axis=1,
+                     keepdims=True)
+        out_ref[g, :] = k1[:, 0]
+        out2_ref[g, :] = k2[:, 0]
 
 
 def lane_sort_keys(tile_bounds, rays_packed):
-    """Per-lane coherence sort keys: (key1, key2), each (N,) int32 —
-    the lane's first SIX candidate tile indices packed three-per-word
-    (9-10 bits per field, each word < 2^30 so the wavefront's
-    KEY_IDLE/KEY_DONE sentinels still order last) for a lexicographic
-    two-word sort.
+    """Per-lane coherence sort keys: (key1, key2), each (N,) int32 for
+    a lexicographic two-word sort — key1 = (first candidate tile
+    index << 20) | fine 20-tile mask, key2 = 30-bit coarse OR-mask
+    over the whole tile range (see _lane_key_kernel).  Both words
+    < 2^30, so the wavefront's KEY_IDLE/KEY_DONE sentinels still
+    order last.
 
-    Measured on the 51.7k-tri living-room bounce distribution at 131k
-    lanes (256-lane ray tiles): first3 alone sweeps 17 candidate-tile
-    visits/ray, first6 reaches 7 — the exact-full-mask lexsort's count
-    (the per-lane ideal is 3); an exact multi-word sort needs a
+    Measured in the evolved steady state on the 51.7k-tri living room
+    at 131k lanes (256-lane ray tiles): 8.1 union candidate
+    tiles/ray-tile — slightly better than the old first6-indices
+    scheme (8.3) at roughly half its extraction cost (full MIS step
+    20.2 ms vs 23.0 ms).  An exact multi-word sort would need a
     27-operand lax.sort whose XLA compile time explodes (~20 min).
     jnp fallback off-TPU.
     """
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
     n_tt_pad = -(-n_tt // 128) * 128
-    fbits = min(10, max(9, (n_tt - 1).bit_length()))
     from nori_tpu import config
 
     use_pallas = (N % TILE_N == 0
@@ -881,20 +903,23 @@ def lane_sort_keys(tile_bounds, rays_packed):
                 & (mint <= maxt))
         idx = jnp.arange(n_tt, dtype=jnp.int32)[None, :]
         big = jnp.int32(n_tt_pad)
-        cl = jnp.int32((1 << fbits) - 1)
-        prev = jnp.full((N, 1), -1, jnp.int32)
-        fields = []
-        for _ in range(6):
-            nxt = jnp.min(jnp.where(cand & (idx > prev), idx, big),
-                          axis=1, keepdims=True)
-            fields.append(nxt)
-            prev = nxt
-        key1 = ((jnp.minimum(fields[0], cl) << (2 * fbits))
-                | (jnp.minimum(fields[1], cl) << fbits)
-                | jnp.minimum(fields[2], cl))[:, 0]
-        key2 = ((jnp.minimum(fields[3], cl) << (2 * fbits))
-                | (jnp.minimum(fields[4], cl) << fbits)
-                | jnp.minimum(fields[5], cl))[:, 0]
+        first1 = jnp.min(jnp.where(cand, idx, big), axis=1,
+                         keepdims=True)
+        e = jnp.clip(127 - (idx - first1), 1, 254)
+        w = jax.lax.bitcast_convert_type(e << 23, jnp.float32)
+        s = jnp.sum(jnp.where(cand, w, 0.0), axis=1, keepdims=True)
+        fwd = (jax.lax.bitcast_convert_type(s, jnp.int32) >> 3) \
+            & 0xFFFFF
+        key1 = ((jnp.minimum(first1, jnp.int32(1023)) << 20)
+                | fwd)[:, 0]
+        gsz = -(-n_tt_pad // 30)
+        n_grp = -(-n_tt_pad // gsz)
+        pad = jnp.zeros((N, n_grp * gsz - n_tt), bool)
+        gc = jnp.any(jnp.concatenate([cand, pad], axis=1)
+                     .reshape(N, n_grp, gsz), axis=2)
+        gi = jnp.arange(n_grp, dtype=jnp.int32)[None, :]
+        key2 = jnp.sum(
+            gc.astype(jnp.int32) << jnp.maximum(29 - gi, 0), axis=1)
         return key1, key2
     tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
     tb = tb.at[:, 3:6].set(-jnp.inf)
@@ -908,7 +933,7 @@ def lane_sort_keys(tile_bounds, rays_packed):
         rays_packed = jnp.concatenate([rays_packed, filler], axis=1)
     out, out2 = pl.pallas_call(
         functools.partial(_lane_key_kernel, n_tt=n_tt,
-                          n_tt_pad=n_tt_pad, fbits=fbits),
+                          n_tt_pad=n_tt_pad),
         grid=((n_rt + pad_rt) // 8,),
         in_specs=[
             pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),

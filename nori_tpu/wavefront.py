@@ -66,11 +66,12 @@ CHECK_EVERY = 16
 SHRINK_FACTOR = 8
 
 
-#: sort keys: survivors get morton|octant (< 2^27); idle and done lanes
-#: sort after every survivor, with done lanes LAST so the flipped
-#: record window starts with the real records
-KEY_IDLE = jnp.int32(1 << 29)
-KEY_DONE = jnp.int32(1 << 30)
+#: sort keys: survivors' key words stay < 2^30 (first-tile index |
+#: fine mask / 30-bit coarse mask); idle and done lanes sort after
+#: every survivor, with done lanes LAST so the flipped record window
+#: starts with the real records
+KEY_IDLE = jnp.int32(0x7FFFFFFD)
+KEY_DONE = jnp.int32(0x7FFFFFFE)
 #: record-log q sentinel for rows that carry no sample
 REC_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -240,6 +241,10 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             # degenerate interval for idle lanes: keeps the sweep
             # kernel's ray-tile culling bounds tight
             smaxt = jnp.where(ok, smaxt, -1.0)
+            # (measured: packing culled lanes to the tail before this
+            # sweep COSTS more than it saves — the argsort + gathers
+            # add ~2.3 ms while the any-hit early exit already prunes
+            # mostly-culled tiles)
             vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
             rays = rays + jnp.sum(ok, dtype=jnp.int32)
             if mode == MIS:
@@ -321,12 +326,12 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         # identical or similar candidate sets become adjacent.  Small
         # scenes (<= 28 tiles) fit the mask in one int32 key computed
         # with cheap jnp slab tests (cbox: 2.2k -> 0.59k pairs/ray).
-        # Bigger scenes sort by the first SIX candidate tile indices
-        # (two packed int32 words, lexicographic lax.sort; keys from a
-        # Pallas kernel since the jnp form materializes (N, n_tt, 3)
-        # broadcasts in HBM) — on the 51.7k-tri living room first6
-        # matches the exact-mask lexsort (7 tile-visits/ray vs 17 for
-        # first3 and 29 for morton+octant; per-lane ideal 3).
+        # Bigger scenes sort by (first candidate tile | fine 20-tile
+        # mask, 30-bit whole-range coarse mask) — two int32 words,
+        # lexicographic lax.sort; keys from a Pallas kernel since the
+        # jnp form materializes (N, n_tt, 3) broadcasts in HBM.  On
+        # the 51.7k-tri living room: 8.1 union tiles/ray-tile vs 8.3
+        # for the old first6 keys at half their extraction cost.
         n_tt_s = int(sd.tri_tile_bounds.shape[0])
         if sort_rays and n_tt_s <= 28:
             invd = 1.0 / jnp.where(
@@ -351,15 +356,11 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 done, KEY_DONE, jnp.where(active, skey, KEY_IDLE))
             perm = jnp.argsort(key)
         elif sort_rays:
-            # Bigger scenes: the lane's FIRST SIX candidate tile
-            # indices packed three-per-int32, sorted lexicographically
-            # as a two-key lax.sort.  Groups lanes whose candidate
-            # walks start identically — measured on the living-room
-            # bounce distribution first6 reaches the exact-full-mask
-            # lexsort's union count (7 tile-visits/ray vs 17 for
-            # first3, per-lane ideal 3); the exact multi-word sort
-            # itself needs a 27-operand lax.sort whose XLA compile
-            # time explodes (~20 min).
+            # Bigger scenes: (first tile | fine mask, coarse mask)
+            # two-key lax.sort — see lane_sort_keys.  Groups lanes
+            # whose candidate walks agree both up close and globally;
+            # the exact multi-word sort would need a 27-operand
+            # lax.sort whose XLA compile time explodes (~20 min).
             from nori_tpu.accel.pallas_mt import (
                 lane_sort_keys, pack_rays)
 
