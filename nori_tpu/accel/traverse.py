@@ -269,20 +269,14 @@ def _occluded_pallas_sorted(scene, o, d, mint, maxt) -> jnp.ndarray:
     return (hit > 0)[:n]
 
 
-def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
-    from nori_tpu.accel.pallas_mt import pack_rays
+def sweep_hit_epilogue(scene, rays, t, idx, n) -> Hit:
+    """(t, idx) sweep results -> Hit with barycentrics.
 
-    rays, n = pack_rays(o, d, mint, maxt)
-    t, idx = _sweep_any(scene, rays, any_hit=any_hit)
-    # the sweep kernels track only (t, idx); reconstruct the winning
-    # triangle's barycentrics with one Moller-Trumbore per RAY (a
-    # gather of the winner + ~30 flops — negligible next to the
-    # sweep).  Consumers of Hit.u/v (fill_interaction, whitted/ao
-    # dumps) rely on them.  Shadow queries need none of it.
-    if any_hit:
-        u = v = jnp.zeros_like(t)
-        return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n],
-                   u=u[:n], v=v[:n])
+    The sweep kernels track only (t, idx); reconstruct the winning
+    triangle's barycentrics with one Moller-Trumbore per RAY (a
+    gather of the winner + ~30 flops — negligible next to the
+    sweep).  Consumers of Hit.u/v (fill_interaction, whitted/ao
+    dumps) rely on them.  Shadow queries need none of it."""
     tri = jnp.maximum(idx, 0)
     # ONE fused row gather (XLA TPU pays ~per-row): tri_attr
     # carries v0|e1|e2 in cols 19:28
@@ -301,6 +295,18 @@ def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
     u = jnp.where(miss, 0.0, u)
     v = jnp.where(miss, 0.0, v)
     return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n], u=u[:n], v=v[:n])
+
+
+def _intersect_pallas(scene, o, d, mint, maxt, any_hit: bool = False) -> Hit:
+    from nori_tpu.accel.pallas_mt import pack_rays
+
+    rays, n = pack_rays(o, d, mint, maxt)
+    t, idx = _sweep_any(scene, rays, any_hit=any_hit)
+    if any_hit:
+        u = v = jnp.zeros_like(t)
+        return Hit(valid=idx[:n] >= 0, t=t[:n], tri=idx[:n],
+                   u=u[:n], v=v[:n])
+    return sweep_hit_epilogue(scene, rays, t, idx, n)
 
 
 def intersect(scene, o, d, mint, maxt) -> Hit:

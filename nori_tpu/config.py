@@ -33,6 +33,13 @@ PALLAS_MAX_TRIS = 1 << 17
 #: kernel branches get CI coverage
 FORCE_PALLAS_INTERPRET: bool = False
 
+#: wavefront: derive both sweeps' per-ray-tile candidate tables from
+#: lane masks carried through the coherence sort + geometric entry
+#: bounds, instead of a full slab pass per sweep (see
+#: pallas_mt.rt_cand_from_lane_masks / shadow_segment_keys).  Off =
+#: every sweep recomputes exact entry keys (the pre-round-3 behavior).
+PREKEYED_SWEEPS: bool = True
+
 
 def on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
