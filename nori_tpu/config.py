@@ -33,12 +33,24 @@ PALLAS_MAX_TRIS = 1 << 17
 #: kernel branches get CI coverage
 FORCE_PALLAS_INTERPRET: bool = False
 
-#: wavefront: derive both sweeps' per-ray-tile candidate tables from
-#: lane masks carried through the coherence sort + geometric entry
-#: bounds, instead of a full slab pass per sweep (see
-#: pallas_mt.rt_cand_from_lane_masks / shadow_segment_keys).  Off =
-#: every sweep recomputes exact entry keys (the pre-round-3 behavior).
+#: wavefront: derive the closest-hit sweep's per-ray-tile candidate
+#: table from lane masks carried through the coherence sort + box-gap
+#: entry bounds, instead of the sweep's own slab pass (see
+#: pallas_mt.rt_cand_from_lane_masks).  Measured on v5e living-room
+#: (51.7k tris, 131k lanes, steady state): candidacy is IDENTICAL to
+#: the exact slab pass (7.9 tiles/ray-tile) and the box-gap entry
+#: lower bounds cost nothing measurable on the skyline exit — the
+#: sweep's own entry-key pass (~2.4 ms/step) disappears.
 PREKEYED_SWEEPS: bool = True
+
+#: with PREKEYED_SWEEPS: also replace the NEE shadow sweep's slab pass
+#: with segment-bundle candidate keys (pallas_mt.shadow_segment_keys).
+#: Default OFF: measured 23x over-inclusive on living-room (351.8 vs
+#: 15.2 candidate tiles/ray-tile; any-hit sweep 148.7 vs 30.7 ms) —
+#: per-ray-tile origin/light cluster radii span the scene once bounce
+#: receivers spread, so the bundle admits nearly every tile.  The
+#: exact per-lane slab pass stays the shadow path.
+PREKEYED_SHADOW: bool = False
 
 
 def on_tpu() -> bool:

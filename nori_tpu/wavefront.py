@@ -163,6 +163,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 and N % TILE_N == 0
                 and (config.resolve_accel(sdc.tri_v0.shape[0]) == "pallas"
                      or config.FORCE_PALLAS_INTERPRET))
+    prekeyed_shadow = prekeyed and config.PREKEYED_SHADOW
     mask_w = (-(-n_tt_build // 128) * 128) // 32 if prekeyed else 0
 
     def camera_ray(seed, q):
@@ -299,7 +300,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             # sweep COSTS more than it saves — the argsort + gathers
             # add ~2.3 ms while the any-hit early exit already prunes
             # mostly-culled tiles)
-            if prekeyed:
+            if prekeyed_shadow:
                 # conservative candidate table from the shadow-bundle
                 # geometry (origin/light clusters per ray tile): the
                 # shadow sweep's own slab pass disappears too
