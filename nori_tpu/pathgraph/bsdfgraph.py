@@ -192,8 +192,15 @@ def eval_graph_bsdf(sp, wi):
     )
     same_side = dot_wi_sh * dot_wo_sh >= 0.0
     align_refl = jnp.abs(_dot(wi, refl_dir) - 1.0) <= 1e-5
-    # refracted direction about shN (Snell, world space)
-    scale = jnp.where(-cos_t_t < 0.0, 1.0 / eta0, eta0)
+    # refracted direction about shN (Snell, world space).  Entering
+    # (cos_t_t < 0) compresses the tangential component by 1/eta,
+    # exiting expands it by eta — matching the sampler
+    # (bsdf.py Dielectric) so recorded wi always aligns.  The
+    # reference kernel's selector is inverted AND unsigned
+    # (pbsdf.cu:456-461 refract), which zeroes every refracted eval —
+    # dead debug code there (its printf floods), a real black-glass
+    # bug here; see test_pathgraph dielectric alignment tests.
+    scale = jnp.where(cos_t_t < 0.0, 1.0 / eta0, eta0)
     refr_dir = _normalize(
         -scale[..., None] * (sp.wo - dot_wo_sh[..., None] * sp.shN)
         + cos_t_t[..., None] * sp.shN
@@ -264,7 +271,8 @@ def pdf_graph_bsdf(sp, wi):
     refl_dir = _normalize(2.0 * dot_wo_sh[..., None] * sp.shN - sp.wo)
     same_side = dot_wi_sh * dot_wo_sh >= 0.0
     align_refl = jnp.abs(_dot(wi, refl_dir) - 1.0) <= 1e-5
-    scale = jnp.where(-cos_t_t < 0.0, 1.0 / eta0, eta0)
+    # Snell scale selector: see eval_graph_bsdf
+    scale = jnp.where(cos_t_t < 0.0, 1.0 / eta0, eta0)
     refr_dir = _normalize(
         -scale[..., None] * (sp.wo - dot_wo_sh[..., None] * sp.shN)
         + cos_t_t[..., None] * sp.shN

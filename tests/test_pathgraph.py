@@ -272,3 +272,64 @@ def test_interactive_view_non_tty_frame(small_graph):
     visual.interactive_view(g, out=buf)
     s = buf.getvalue()
     assert "▀" in s and "phase eLi+em" in s and "pick (" in s
+
+
+def test_delta_dielectric_refraction_alignment():
+    """The 't' delta branch must re-derive the SAME refraction
+    direction the sampler produced (Snell: entering compresses the
+    tangential component by 1/eta, exiting expands by eta).  The
+    reference kernel's selector is inverted (pbsdf.cu:456-461 refract,
+    dead debug code there); getting it wrong silently zeroes every
+    refracted eval and renders dielectric-first pixels black (the
+    living-room glass ornament regression this pins)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nori_tpu.pathgraph.io import SPOINT_DTYPE
+    from nori_tpu.pathgraph.bsdfgraph import (
+        GraphPoints, eval_graph_bsdf, pdf_graph_bsdf)
+
+    rng = np.random.RandomState(11)
+    n = 256
+    eta = 1.5046 / 1.000277
+    sps = np.zeros(n, SPOINT_DTYPE)
+    shn = np.tile(np.float32([0.0, 0.0, 1.0]), (n, 1))
+    # half entering (wo above surface), half exiting (wo below)
+    wo = rng.randn(n, 3).astype(np.float32)
+    wo[: n // 2, 2] = np.abs(wo[: n // 2, 2]) + 0.05
+    wo[n // 2:, 2] = -np.abs(wo[n // 2:, 2]) - 0.05
+    wo /= np.linalg.norm(wo, axis=1, keepdims=True)
+    cos_i = wo[:, 2]
+    rel = np.where(cos_i > 0, 1.0 / eta, eta).astype(np.float32)
+    sin2_t = (1.0 - cos_i**2) * rel * rel
+    tir = sin2_t >= 1.0
+    cos_t = np.sqrt(np.maximum(1.0 - sin2_t, 0.0)) * -np.sign(cos_i)
+    # transmitted direction: tangential flipped and scaled by rel
+    wi = (-rel[:, None] * (wo - cos_i[:, None] * shn)
+          + cos_t[:, None] * shn).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=1, keepdims=True)
+    sps["wo"], sps["shN"], sps["geoN"] = wo, shn, shn
+    sps["wi"] = wi
+    sps["eta"] = eta
+    sps["diffuse"] = 1.0
+    sps["specular"] = 1.0
+    sps["rrpdf"] = 1.0
+    sps["nidx"] = 1
+    sps["bsdf_type"] = b"t"
+    gp = GraphPoints(sps)
+    f = np.asarray(eval_graph_bsdf(gp, gp.wi)).max(-1)
+    p = np.asarray(pdf_graph_bsdf(gp, gp.wi))
+    ok = ~tir
+    assert ok.sum() > n // 2
+    assert (f[ok] > 0).all(), "refraction evals must align"
+    assert (p[ok] > 0).all()
+    # radiance scaling: f/pdf = rel_out^2 (solid-angle compression)
+    ratio = f[ok] / p[ok]
+    expect = np.where(cos_t[ok] < 0, 1.0 / eta, eta) ** 2
+    np.testing.assert_allclose(ratio, expect, rtol=1e-3)
+    # TIR lanes: the sampler would have produced the REFLECTION
+    refl = (2.0 * cos_i[:, None] * shn - wo)[tir]
+    if tir.any():
+        g2 = gp.gather(jnp.asarray(np.nonzero(tir)[0].astype(np.int32)))
+        f_r = np.asarray(eval_graph_bsdf(g2, jnp.asarray(refl))).max(-1)
+        assert (f_r > 0).all(), "TIR reflection must align"
