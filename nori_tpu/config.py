@@ -38,10 +38,13 @@ FORCE_PALLAS_INTERPRET: bool = False
 #: entry bounds, instead of the sweep's own slab pass (see
 #: pallas_mt.rt_cand_from_lane_masks).  Measured on v5e living-room
 #: (51.7k tris, 131k lanes, steady state): candidacy is IDENTICAL to
-#: the exact slab pass (7.9 tiles/ray-tile) and the box-gap entry
-#: lower bounds cost nothing measurable on the skyline exit — the
-#: sweep's own entry-key pass (~2.4 ms/step) disappears.
-PREKEYED_SWEEPS: bool = True
+#: the exact slab pass (7.9 tiles/ray-tile), images bit-identical, and
+#: the step time is a WASH (20.29 vs 20.38 ms) — the mask-emit matmul,
+#: OR-fold, and 16 extra carried sort columns cost what the removed
+#: entry-key pass saved.  Default OFF: same speed, fewer kernels to
+#: compile (~20 s less cold-start).  The machinery stays for scenes
+#: where the trade differs; interpret-mode tests pin its correctness.
+PREKEYED_SWEEPS: bool = False
 
 #: with PREKEYED_SWEEPS: also replace the NEE shadow sweep's slab pass
 #: with segment-bundle candidate keys (pallas_mt.shadow_segment_keys).
