@@ -181,8 +181,9 @@ def test_wavefront_prekeyed_gate(sd):
     from nori_tpu.integrators.path import MIS
 
     scene = living_room(width=32, height=32, spp=2, detail=3)
-    old = config.FORCE_PALLAS_INTERPRET
+    old = (config.FORCE_PALLAS_INTERPRET, config.PREKEYED_SWEEPS)
     config.FORCE_PALLAS_INTERPRET = True
+    config.PREKEYED_SWEEPS = True
     try:
         init, step, n_act, _ = make_wavefront_stepper(
             scene, MIS, n_lanes=512, chunk=1024, sort_rays=True)
@@ -195,7 +196,7 @@ def test_wavefront_prekeyed_gate(sd):
         assert "cmask" in carry[0]
         assert int(n_act(carry)) > 0
     finally:
-        config.FORCE_PALLAS_INTERPRET = old
+        config.FORCE_PALLAS_INTERPRET, config.PREKEYED_SWEEPS = old
 
 
 def test_wavefront_prekeyed_render_matches_plain(sd):
@@ -210,13 +211,14 @@ def test_wavefront_prekeyed_render_matches_plain(sd):
     from nori_tpu.wavefront import render_wavefront
 
     scene = living_room(width=24, height=24, spp=2, detail=3)
-    old = config.FORCE_PALLAS_INTERPRET
+    old = (config.FORCE_PALLAS_INTERPRET, config.PREKEYED_SWEEPS)
     config.FORCE_PALLAS_INTERPRET = True
+    config.PREKEYED_SWEEPS = True
     try:
         a, _ = render_wavefront(scene, n_lanes=512, seed=7,
                                 sort_rays=True)
     finally:
-        config.FORCE_PALLAS_INTERPRET = old
+        config.FORCE_PALLAS_INTERPRET, config.PREKEYED_SWEEPS = old
     scene2 = living_room(width=24, height=24, spp=2, detail=3)
     b, _ = render_wavefront(scene2, n_lanes=512, seed=7,
                             sort_rays=False)
