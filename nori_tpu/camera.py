@@ -84,19 +84,35 @@ class PerspectiveCamera(Camera):
         s2c = params["sample_to_camera"]
         c2w = params["camera_to_world"]
         p = sample_positions * params["inv_output_size"]
-        # apply sample_to_camera to (px, py, 0) as a projective point
+        # apply sample_to_camera to (px, py, 0) as a projective point.
+        # The tiny matrix applications are written as ELEMENTWISE
+        # broadcast sums, not `@`: XLA lowers dot_general to bf16 MXU
+        # passes by default on TPU, which bent every primary ray by up
+        # to ~4e-3 (and left |d| off unit by the same) — downstream,
+        # the path-graph delta-alignment tests rejected every stored
+        # specular sample.  VPU elementwise ops are exact f32.
         xyz0 = jnp.stack(
             [p[..., 0], p[..., 1], jnp.zeros_like(p[..., 0])], axis=-1
         )
-        near_p = xyz0 @ s2c[:3, :3].T + s2c[:3, 3]
-        w = xyz0 @ s2c[3, :3].T + s2c[3, 3]
+
+        def apply_rows(m3, v):
+            return (m3[:, 0] * v[..., 0:1] + m3[:, 1] * v[..., 1:2]
+                    + m3[:, 2] * v[..., 2:3])
+
+        near_p = apply_rows(s2c[:3, :3], xyz0) + s2c[:3, 3]
+        w = (s2c[3, 0] * xyz0[..., 0] + s2c[3, 1] * xyz0[..., 1]
+             + s2c[3, 2] * xyz0[..., 2] + s2c[3, 3])
         near_p = near_p / w[..., None]
 
         d_cam = near_p / jnp.linalg.norm(near_p, axis=-1, keepdims=True)
         inv_z = 1.0 / d_cam[..., 2]
 
         o_world = jnp.broadcast_to(c2w[:3, 3], d_cam.shape)
-        d_world = d_cam @ c2w[:3, :3].T
+        d_world = apply_rows(c2w[:3, :3], d_cam)
+        # unit-length contract: every consumer (slab entry bounds,
+        # NEE distances, the pg delta alignment) assumes |d| == 1
+        d_world = d_world / jnp.linalg.norm(d_world, axis=-1,
+                                            keepdims=True)
         mint = params["near_clip"] * inv_z
         maxt = params["far_clip"] * inv_z
         return o_world, d_world, mint, maxt
