@@ -695,9 +695,11 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     total_q = w * h * spp
     n_lanes = min(n_lanes, max(4096, total_q))
     if chunk is None:
-        # big chunks amortize the drain tail; the record log costs
-        # 16 bytes/work-item of HBM
-        chunk = min(total_q, 64 * n_lanes)
+        # big chunks amortize the drain tail (each chunk pays a full
+        # occupancy-decay drain); the record log costs 16 bytes/work-
+        # item of HBM, so cap by memory, not by lane count: 2^25 items
+        # = 512 MB of records.  A 720p spp<=36 render is ONE chunk.
+        chunk = min(total_q, max(64 * n_lanes, 1 << 25))
     chunk = max(spp, (chunk // spp) * spp)
 
     # cache compiled steppers on the scene (jit caches are per-function
