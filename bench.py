@@ -111,9 +111,14 @@ def main():
 
     # spp=32 saturates lane-pool occupancy (0.700 @ spp=8 -> 0.736):
     # the 1024-spp target workload runs at >= this rate, and spp only
-    # bounds bench runtime (~20 s at current throughput)
+    # bounds bench runtime (~20 s at current throughput).  n_lanes =
+    # 512k: measured lane-pool scaling on this workload (2026-08-19,
+    # one v5e chip, warm): 131k -> 5.4, 262k -> 9.46, 512k -> 10.80
+    # Mrays/s — per-step fixed costs (two sweep-launch floors, sort
+    # overheads, pipelined host sync) amortize across a wider pool
+    # faster than drain-tail occupancy decays (0.81 -> 0.69).
     lr = living_room(width=1280, height=720, spp=32, detail=5)
-    breakdown["living_room"] = _bench_scene(lr, spp=32)
+    breakdown["living_room"] = _bench_scene(lr, spp=32, n_lanes=524288)
 
     if os.path.exists(REF_CBOX):
         from nori_tpu import load_from_xml
