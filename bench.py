@@ -150,7 +150,11 @@ def main():
 
             sc = load_from_xml(path)
             n_tris = sc.compile().tri_v0.shape[0]
-            render(sc, spp=1)          # warm
+            # warm at the MEASURED spp: render() compiles per q-batch
+            # shape, so a different-spp warm pass leaves the measured
+            # call paying the full compile (r3 preview: 4.7 -> 0.1
+            # "Mrays/s" purely from that artifact)
+            render(sc, spp=spp)        # warm
             t0 = time.time()
             img, stats = render(sc, spp=spp)
             dt = time.time() - t0

@@ -245,10 +245,46 @@ def _mt_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
     return hit, t, u, v
 
 
+def _bw_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
+    """(TILE_N x TILE_T) Baldwin-Weber tests; returns (hit, t, u, v).
+
+    tris: (12, TILE_T) precomputed transform rows
+    [n(3) | d_plane | U(3) | u_w | V(3) | v_w] (scene._build_tri_bw):
+    t from the plane equation, (u, v) as affine functions of the hit
+    point.  ~40 VPU ops/pair vs Moller-Trumbore's ~56 — same hit set
+    as src/mesh.cpp:51-88 (identical |den| = |det| cutoff at 1e-8,
+    u/v/t rounded differently only at ULP level).
+    """
+    tile_t = tris.shape[1]
+
+    def trow(i):
+        return tris[i, :].reshape(1, tile_t)
+
+    nx, ny, nz, dn = trow(0), trow(1), trow(2), trow(3)
+    ux, uy, uz, uw = trow(4), trow(5), trow(6), trow(7)
+    vx, vy, vz, vw = trow(8), trow(9), trow(10), trow(11)
+
+    den = nx * dx + ny * dy + nz * dz
+    ok = jnp.abs(den) > 1e-8
+    inv_den = 1.0 / jnp.where(ok, den, 1.0)
+    t = -(nx * ox + ny * oy + nz * oz + dn) * inv_den
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = ux * px + uy * py + uz * pz + uw
+    v = vx * px + vy * py + vz * pz + vw
+    hit = (
+        ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= mint) & (t <= maxt)
+    )
+    return hit, t, u, v
+
+
 def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
                         t_ref,
                         *, n_tt: int, idx_bits: int, any_hit: bool,
-                        use_mxu: bool, visit_w: int = VISIT_W):
+                        use_mxu: bool, use_bw: bool = False,
+                        visit_w: int = VISIT_W):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
@@ -366,7 +402,8 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
                 )
             else:
                 tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
-                hit, t, u, v = _mt_block(
+                blk = _bw_block if use_bw else _mt_block
+                hit, t, u, v = blk(
                     tris, ox, oy, oz, dx, dy, dz, mint, maxt)
             tm = jnp.where(hit, t, jnp.inf)
             tile_min = jnp.min(tm, axis=1, keepdims=True)
@@ -1207,10 +1244,11 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N,
 
 def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
                    use_mxu: bool, visit_w: int = VISIT_W,
-                   precomputed=None):
+                   precomputed=None, use_bw: bool = False):
     """One pallas_call of the resident kernel over all given rays.
 
-    tris_op: (9, T) soup, or (10, 4*T) MXU weights when use_mxu.
+    tris_op: (9, T) soup, (12, T) Baldwin-Weber transforms when
+    use_bw, or (10, 4*T) MXU weights when use_mxu.
     rays_packed: (8, N).  Returns (t, idx) each (N,).
     precomputed: optional (keys, idx_bits) packed candidate table
     (sorted_keys_from_cand_lb / ray_tile_entry_keys format) — skips
@@ -1230,7 +1268,8 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
 
     kernel = functools.partial(
         _mt_resident_kernel, n_tt=n_tt, idx_bits=idx_bits,
-        any_hit=any_hit, use_mxu=use_mxu, visit_w=visit_w)
+        any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw,
+        visit_w=visit_w)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed [order | sorted entry]
@@ -1258,19 +1297,21 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("any_hit", "use_mxu", "visit_w"))
+                   static_argnames=("any_hit", "use_mxu", "use_bw",
+                                    "visit_w"))
 def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
                       any_hit: bool = False, use_mxu: bool = False,
-                      visit_w: int = VISIT_W):
+                      use_bw: bool = False, visit_w: int = VISIT_W):
     """Resident-soup sweep; returns (t, idx) each (N,), idx == -1 miss.
 
-    tris_op is the (9, T) soup, or SceneData.tri_mxu (10, 4*T) when
-    use_mxu (caller gates on the VMEM budgets).  (u, v) are NOT
-    computed — the interaction fill recomputes them from the winning
-    triangle.  Rays are processed in chunks sized so the prefetched
-    order|entry table fits the SMEM budget.  (scene_bounds is accepted
-    for signature compatibility; the exact per-tile candidate lists
-    made the geometric reach cap redundant.)
+    tris_op is the (9, T) soup, SceneData.tri_bw (12, T) when use_bw,
+    or SceneData.tri_mxu (10, 4*T) when use_mxu (caller gates on the
+    VMEM budgets).  (u, v) are NOT computed — the interaction fill
+    recomputes them from the winning triangle.  Rays are processed in
+    chunks sized so the prefetched order|entry table fits the SMEM
+    budget.  (scene_bounds is accepted for signature compatibility;
+    the exact per-tile candidate lists made the geometric reach cap
+    redundant.)
     """
     del scene_bounds
     rows, cols = tris_op.shape
@@ -1282,13 +1323,13 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
         return _resident_call(tris_op, tile_bounds, rays_packed, any_hit,
-                              use_mxu, visit_w)
+                              use_mxu, visit_w, use_bw=use_bw)
     outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _resident_call(
             tris_op, tile_bounds, rays_packed[:, lo:hi], any_hit,
-            use_mxu, visit_w)
+            use_mxu, visit_w, use_bw=use_bw)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)

@@ -239,10 +239,17 @@ def _sweep_any(scene, rays, any_hit: bool):
             any_hit=any_hit)
     use_mxu = (config.USE_MXU_SWEEP
                and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
+    use_bw = (config.USE_BW_SWEEP and not use_mxu
+              and scene.tri_bw.shape[1] == T
+              and 12 * T * 4 <= RESIDENT_VMEM_BUDGET)
+    tris_op = scene.tri_packed
+    if use_mxu:
+        tris_op = scene.tri_mxu
+    elif use_bw:
+        tris_op = scene.tri_bw
     return mt_sweep_resident(
-        scene.tri_mxu if use_mxu else scene.tri_packed,
-        scene.tri_tile_bounds, scene.scene_bounds,
-        rays, any_hit=any_hit, use_mxu=use_mxu,
+        tris_op, scene.tri_tile_bounds, scene.scene_bounds,
+        rays, any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw,
     )
 
 

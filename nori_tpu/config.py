@@ -25,6 +25,18 @@ accel_mode: str = "auto"
 #: as an option for TPU generations with native fp32 MXU throughput.
 USE_MXU_SWEEP: bool = False
 
+#: use the Baldwin-Weber precomputed triangle transform in the
+#: resident sweep (scene._build_tri_bw): ~40 VPU ops per pair test vs
+#: Moller-Trumbore's ~56.  Same hit semantics (the |n.d| cutoff equals
+#: MT's |det| cutoff exactly; u/v/t differ only at ULP level — the
+#: living-room A/B had bit-identical hit sets).  The (12, T) operand
+#: needs 33% more VMEM than the (9, T) soup, so eligibility is
+#: 12*T*4 <= RESIDENT_VMEM_BUDGET.  Measured on v5e living-room
+#: (51.7k tris, 131k sorted bounce rays): closest 6.89 -> 6.71 ms,
+#: any-hit 5.96 -> 5.54 ms — modest because per-visit overhead and
+#: the 33% larger VMEM loads offset part of the op saving.
+USE_BW_SWEEP: bool = True
+
 #: dense-sweep cutoff: above this triangle count use the BVH
 PALLAS_MAX_TRIS = 1 << 17
 

@@ -66,6 +66,35 @@ def _build_tri_mxu(v0, e1, e2, n_tris):
         wt.reshape(nt * 4 * FINE_T, 16).T).astype(np.float32)
 
 
+def _build_tri_bw(v0, e1, e2, n_tris):
+    """(12, T) Baldwin-Weber transform rows for the resident sweep:
+    [n(3) | d_plane | U(3) | u_w | V(3) | v_w] per triangle, so the
+    kernel evaluates t = -(n.o + d_plane)/(n.d) and barycentrics as
+    affine functions u = U.p + u_w, v = V.p + v_w of the hit point
+    p = o + t d ("Fast Ray-Triangle Intersections by Coordinate
+    Transformation", Baldwin & Weber, JCGT 2016).  With n = e1 x e2
+    the kernel's |n.d| > 1e-8 cutoff equals Moller-Trumbore's |det|
+    cutoff (src/mesh.cpp:56-59): det = e1.(d x e2) = -(n.d).  Rows
+    are computed in float64 and rounded once.  Padded/degenerate
+    triangles get n = 0 -> den = 0 -> never hit.
+    """
+    v0d = v0.astype(np.float64)
+    n = np.cross(e1.astype(np.float64), e2.astype(np.float64))
+    nn = np.einsum("ij,ij->i", n, n)
+    safe = np.where(nn > 0.0, nn, 1.0)[:, None]
+    U = np.cross(e2.astype(np.float64), n) / safe
+    V = np.cross(n, e1.astype(np.float64)) / safe
+    out = np.zeros((12, v0.shape[0]), np.float32)
+    out[0:3] = n.T
+    out[3] = -np.einsum("ij,ij->i", n, v0d)
+    out[4:7] = U.T
+    out[7] = -np.einsum("ij,ij->i", U, v0d)
+    out[8:11] = V.T
+    out[11] = -np.einsum("ij,ij->i", V, v0d)
+    out[:, n_tris:] = 0.0
+    return out
+
+
 class SceneData(NamedTuple):
     """Flat render-ready scene (all jnp arrays; a valid jit argument)."""
 
@@ -97,6 +126,9 @@ class SceneData(NamedTuple):
     # (10, K-padded to 16) contract against these on the systolic
     # array, leaving only the ratio/compare epilogue on the VPU
     tri_mxu: jnp.ndarray   # (16, 4*T)
+    # Baldwin-Weber per-triangle transforms for the resident sweep
+    # (config.USE_BW_SWEEP); (12, 4) placeholder for streamed scenes
+    tri_bw: jnp.ndarray    # (12, T)
     tri_tile_bounds: jnp.ndarray  # (T/FINE_T, 8) per-tile AABBs for culling
     scene_bounds: jnp.ndarray  # (1, 8) [center xyz, half-diag, ...]
 
@@ -380,6 +412,9 @@ class Scene(NoriObject):
             tri_mxu=jnp.asarray(
                 _build_tri_mxu(v0, e1, e2, n_tris) if not streamed
                 else np.zeros((16, 4), np.float32)),
+            tri_bw=jnp.asarray(
+                _build_tri_bw(v0, e1, e2, n_tris) if not streamed
+                else np.zeros((12, 4), np.float32)),
             tri_tile_bounds=jnp.asarray(tile_bounds),
             scene_bounds=jnp.asarray(scene_bounds_row),
             bsdf=bsdf_table,

@@ -117,6 +117,37 @@ def test_resident_sweep_mxu_variant(sd, rays):
         np.asarray(t)[v], np.asarray(oracle.t)[v], rtol=1e-4)
 
 
+def test_resident_sweep_bw_variant(sd, rays):
+    # Baldwin-Weber transform path (config.USE_BW_SWEEP): same hit SET
+    # as Moller-Trumbore (the |n.d| cutoff equals MT's |det| cutoff),
+    # t differs only at ULP level
+    o, d, mint, maxt = rays
+    oracle = intersect_brute(sd, o, d, mint, maxt)
+    rp, n = pack_rays(o, d, mint, maxt)
+    t, idx = mt_sweep_resident(
+        sd.tri_bw, sd.tri_tile_bounds, sd.scene_bounds, rp,
+        use_bw=True)
+    t, idx = t[:n], idx[:n]
+    v = np.asarray(oracle.valid)
+    assert np.array_equal(np.asarray(idx >= 0), v)
+    assert np.array_equal(np.asarray(idx)[v], np.asarray(oracle.tri)[v])
+    # t comes from the plane equation instead of MT's scaled triple
+    # product: equal to a few ULPs, not to MT's own rounding
+    np.testing.assert_allclose(
+        np.asarray(t)[v], np.asarray(oracle.t)[v], rtol=1e-4, atol=1e-5)
+
+
+def test_resident_sweep_bw_any_hit(sd, rays):
+    o, d, mint, maxt = rays
+    oracle = intersect_brute(sd, o, d, mint, maxt)
+    rp, n = pack_rays(o, d, mint, maxt)
+    _, idx = mt_sweep_resident(
+        sd.tri_bw, sd.tri_tile_bounds, sd.scene_bounds, rp,
+        any_hit=True, use_bw=True)
+    assert np.array_equal(
+        np.asarray(idx[:n] >= 0), np.asarray(oracle.valid))
+
+
 def test_lane_sort_key_kernel_matches_jnp(sd, rays):
     # the Pallas first3-key kernel (TPU production path for the
     # wavefront coherence sort) must agree with the jnp fallback
