@@ -702,114 +702,8 @@ def _entry_min_pallas(tile_bounds, rays_packed, tile_n: int):
     return out[:n_rt, :n_tt]
 
 
-def _lane_mask_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int):
-    """Per-LANE candidate-tile bitmask, packed 16 tiles per f32 value
-    (exact in f32; the caller fuses pairs into int32 words).  Same slab
-    math as _entry_kernel; the bit packing is a (TILE_N, n_tt_pad) x
-    (n_tt_pad, W) matmul against a block-diagonal power-of-two matrix,
-    which the MXU does for free."""
-    rays = ray_ref[:, :]
-
-    def col(i):
-        return rays[i, :].reshape(TILE_N, 1)
-
-    ox, oy, oz = col(0), col(1), col(2)
-    dx, dy, dz = col(3), col(4), col(5)
-    mint, maxt = col(6), col(7)
-    live = mint <= maxt
-
-    def inv(c):
-        return 1.0 / jnp.where(
-            jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c)
-
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
-
-    def row(i):
-        return tb_ref[i, :].reshape(1, n_tt_pad)
-
-    t0x = (row(0) - ox) * ix
-    t1x = (row(3) - ox) * ix
-    t0y = (row(1) - oy) * iy
-    t1y = (row(4) - oy) * iy
-    t0z = (row(2) - oz) * iz
-    t1z = (row(5) - oz) * iz
-    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                 jnp.minimum(t0y, t1y)),
-                     jnp.minimum(t0z, t1z))
-    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                 jnp.maximum(t0y, t1y)),
-                     jnp.maximum(t0z, t1z))
-    cand = (tn <= tf) & (tf >= mint) & (tn <= maxt) & live
-    w = n_tt_pad // 16
-    # pack 16 tiles/word with one (TILE_N, n_tt_pad) x (n_tt_pad, w)
-    # matmul: P[j, j//16] = 2^(15 - j%16); sums < 2^16 are exact in f32
-    tile_i = jax.lax.broadcasted_iota(jnp.int32, (n_tt_pad, w), 0)
-    word_i = jax.lax.broadcasted_iota(jnp.int32, (n_tt_pad, w), 1)
-    weight = jnp.exp2((15 - (tile_i % 16)).astype(jnp.float32))
-    P = jnp.where(tile_i // 16 == word_i, weight, 0.0)
-    out_ref[:, :] = jax.lax.dot_general(
-        cand.astype(jnp.float32), P, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-
-
-def lane_mask_words(tile_bounds, rays_packed):
-    """(N, ceil(n_tt/32)) int32 exact candidate bitmasks per lane
-    (MSB-first within each word, word 0 = lowest tile indices).  The
-    wavefront sorts lanes lexicographically by these words so lanes
-    with identical/similar candidate sets share ray tiles (measured on
-    the 51.7k-tri living room: 3.9x fewer swept pairs than a
-    morton+octant key).  jnp fallback off-TPU."""
-    _, N = rays_packed.shape
-    n_tt = tile_bounds.shape[0]
-    n_tt_pad = -(-n_tt // 128) * 128
-    w16 = n_tt_pad // 16
-    if jax.default_backend() == "cpu" or N % TILE_N:
-        o = rays_packed[0:3].T.reshape(N, 1, 3)
-        dv = rays_packed[3:6].T.reshape(N, 1, 3)
-        mint = rays_packed[6].reshape(N, 1)
-        maxt = rays_packed[7].reshape(N, 1)
-        inv = 1.0 / jnp.where(jnp.abs(dv) < 1e-20,
-                              jnp.where(dv < 0, -1e-20, 1e-20), dv)
-        t0 = (tile_bounds[None, :, 0:3] - o) * inv
-        t1 = (tile_bounds[None, :, 3:6] - o) * inv
-        tn = jnp.max(jnp.minimum(t0, t1), -1)
-        tf = jnp.min(jnp.maximum(t0, t1), -1)
-        cand = ((tn <= tf) & (tf >= mint) & (tn <= maxt)
-                & (mint <= maxt))
-        pad = jnp.zeros((N, n_tt_pad - n_tt), bool)
-        cand = jnp.concatenate([cand, pad], axis=1)
-        h16 = jnp.sum(
-            cand.reshape(N, w16, 16).astype(jnp.int32)
-            * (1 << (15 - jnp.arange(16, dtype=jnp.int32)))[None, None],
-            axis=2,
-        )
-    else:
-        tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
-        tb = tb.at[:, 3:6].set(-jnp.inf)
-        tb = tb.at[:n_tt].set(tile_bounds)
-        n_rt = N // TILE_N
-        out = pl.pallas_call(
-            functools.partial(_lane_mask_kernel, n_tt_pad=n_tt_pad),
-            grid=(n_rt,),
-            in_specs=[
-                pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, TILE_N), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((TILE_N, w16), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((N, w16), jnp.float32),
-        )(tb.T, rays_packed)
-        h16 = out.astype(jnp.int32)
-    # fuse 16-bit halves into int32 words (MSB half = lower tiles)
-    return (h16[:, 0::2] << 16) | h16[:, 1::2]
-
-
-def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref, *mask_ref,
-                     n_tt: int, n_tt_pad: int, emit_masks: bool = False):
+def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref,
+                     n_tt: int, n_tt_pad: int):
     """Per-LANE coherence sort keys ("front + coarse"):
 
       key1 = (first candidate tile index << 20) | exact candidate
@@ -832,11 +726,11 @@ def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref, *mask_ref,
     _entry_kernel.  One grid step covers 8 ray tiles (Mosaic needs
     output sublanes divisible by 8).
 
-    emit_masks: additionally write the EXACT per-lane candidate
-    bitmask (16 tiles per f32 half-word, as in _lane_mask_kernel) —
-    the wavefront carries these through its coherence sort and derives
-    the NEXT sweep's per-ray-tile candidate lists from them, replacing
-    a whole second slab pass (see rt_cand_from_lane_masks)."""
+    (An emit_masks variant that also wrote exact per-lane candidate
+    bitmasks — so the NEXT step's sweep could skip its own slab pass —
+    was built and measured a WASH at 131k lanes on living-room: the
+    mask matmul, OR-fold and 16 extra carried sort columns cost what
+    the removed entry pass saved.  Removed; see README perf notes.)"""
     def row(i):
         return tb_ref[i, :].reshape(1, n_tt_pad)
 
@@ -905,20 +799,9 @@ def _lane_key_kernel(tb_ref, ray_ref, out_ref, out2_ref, *mask_ref,
                      keepdims=True)
         out_ref[g, :] = k1[:, 0]
         out2_ref[g, :] = k2[:, 0]
-        if emit_masks:
-            w16 = n_tt_pad // 16
-            ti = jax.lax.broadcasted_iota(jnp.int32, (n_tt_pad, w16), 0)
-            wi = jax.lax.broadcasted_iota(jnp.int32, (n_tt_pad, w16), 1)
-            wt = jnp.exp2((15 - (ti % 16)).astype(jnp.float32))
-            P = jnp.where(ti // 16 == wi, wt, 0.0)
-            mask_ref[0][pl.ds(g * TILE_N, TILE_N), :] = jax.lax.dot_general(
-                cand.astype(jnp.float32), P, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
 
 
-def _lane_keys_impl(tile_bounds, rays_packed, emit_masks: bool):
+def _lane_keys_impl(tile_bounds, rays_packed):
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
     n_tt_pad = -(-n_tt // 128) * 128
@@ -959,17 +842,7 @@ def _lane_keys_impl(tile_bounds, rays_packed, emit_masks: bool):
         gi = jnp.arange(n_grp, dtype=jnp.int32)[None, :]
         key2 = jnp.sum(
             gc.astype(jnp.int32) << jnp.maximum(29 - gi, 0), axis=1)
-        if not emit_masks:
-            return key1, key2
-        w16 = n_tt_pad // 16
-        padm = jnp.zeros((N, n_tt_pad - n_tt), bool)
-        candp = jnp.concatenate([cand, padm], axis=1)
-        h16 = jnp.sum(
-            candp.reshape(N, w16, 16).astype(jnp.int32)
-            * (1 << (15 - jnp.arange(16, dtype=jnp.int32)))[None, None],
-            axis=2,
-        )
-        return key1, key2, (h16[:, 0::2] << 16) | h16[:, 1::2]
+        return key1, key2
     tb = jnp.full((n_tt_pad, 8), jnp.inf, tile_bounds.dtype)
     tb = tb.at[:, 3:6].set(-jnp.inf)
     tb = tb.at[:n_tt].set(tile_bounds)
@@ -980,7 +853,6 @@ def _lane_keys_impl(tile_bounds, rays_packed, emit_masks: bool):
         filler = filler.at[6, :].set(1.0)
         filler = filler.at[7, :].set(-1.0)
         rays_packed = jnp.concatenate([rays_packed, filler], axis=1)
-    w16 = n_tt_pad // 16
     out_specs = [
         pl.BlockSpec((8, TILE_N), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -991,16 +863,9 @@ def _lane_keys_impl(tile_bounds, rays_packed, emit_masks: bool):
         jax.ShapeDtypeStruct((n_rt + pad_rt, TILE_N), jnp.int32),
         jax.ShapeDtypeStruct((n_rt + pad_rt, TILE_N), jnp.int32),
     ]
-    if emit_masks:
-        out_specs.append(
-            pl.BlockSpec((8 * TILE_N, w16), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM))
-        out_shape.append(
-            jax.ShapeDtypeStruct(((n_rt + pad_rt) * TILE_N, w16),
-                                 jnp.float32))
     res = pl.pallas_call(
         functools.partial(_lane_key_kernel, n_tt=n_tt,
-                          n_tt_pad=n_tt_pad, emit_masks=emit_masks),
+                          n_tt_pad=n_tt_pad),
         grid=((n_rt + pad_rt) // 8,),
         in_specs=[
             pl.BlockSpec((8, n_tt_pad), lambda i: (0, 0),
@@ -1012,12 +877,7 @@ def _lane_keys_impl(tile_bounds, rays_packed, emit_masks: bool):
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
     )(tb.T, rays_packed)
-    k1 = res[0].reshape(-1)[:N]
-    k2 = res[1].reshape(-1)[:N]
-    if not emit_masks:
-        return k1, k2
-    h16 = res[2][:N].astype(jnp.int32)
-    return k1, k2, (h16[:, 0::2] << 16) | h16[:, 1::2]
+    return res[0].reshape(-1)[:N], res[1].reshape(-1)[:N]
 
 
 def lane_sort_keys(tile_bounds, rays_packed):
@@ -1036,137 +896,7 @@ def lane_sort_keys(tile_bounds, rays_packed):
     27-operand lax.sort whose XLA compile time explodes (~20 min).
     jnp fallback off-TPU.
     """
-    return _lane_keys_impl(tile_bounds, rays_packed, emit_masks=False)
-
-
-def lane_sort_keys_masks(tile_bounds, rays_packed):
-    """lane_sort_keys plus the EXACT per-lane candidate bitmask words:
-    (key1, key2, masks (N, n_tt_pad//32) int32, MSB-first, word 0 =
-    lowest tile indices).  The slab math is shared, so the masks cost
-    one extra MXU matmul — the wavefront carries them through its
-    coherence sort and rebuilds the next sweep's per-ray-tile
-    candidate lists from them (rt_cand_from_lane_masks), replacing the
-    sweep's own entry-key slab pass entirely."""
-    return _lane_keys_impl(tile_bounds, rays_packed, emit_masks=True)
-
-
-def rt_cand_from_lane_masks(mask_words, n_tt, tile_n: int = TILE_N):
-    """Per-ray-tile candidacy from carried per-lane masks.
-
-    mask_words: (N, W) int32 exact candidate bitmasks (layout of
-    lane_sort_keys_masks).  Returns (n_rt, n_tt) bool — the OR over
-    each 256-lane ray tile, i.e. EXACTLY the candidate set the sweep's
-    own entry-key slab pass would compute (same slab test, same
-    per-lane mint/maxt/live gating), for free.  Idle lanes carry
-    all-zero masks; shrink-packed garbage rows may carry stale masks,
-    which only ever ADDS candidates (over-inclusion is wasted visits,
-    never a wrong hit)."""
-    N, W = mask_words.shape
-    n_rt = N // tile_n
-    x = mask_words.reshape(n_rt, tile_n, W)
-    k = tile_n
-    while k > 1:                       # log2 OR-fold over the lanes
-        x = x[:, 0:k:2] | x[:, 1:k:2]
-        k //= 2
-    words = x[:, 0]                    # (n_rt, W)
-    j = jnp.arange(n_tt, dtype=jnp.int32)
-    w = jnp.take(words, j // 32, axis=1)
-    return ((w >> (31 - (j % 32)[None, :])) & 1).astype(bool)
-
-
-def per_rt_bounds(x, live, tile_n: int = TILE_N):
-    """Per-ray-tile AABB of the live lanes' points x (N, 3).
-    Returns (lo, hi), each (n_rt, 3); inverted (+big, -big) when a
-    tile has no live lane."""
-    big = jnp.float32(3e37)
-    N = x.shape[0]
-    n_rt = N // tile_n
-    xl = jnp.where(live[:, None], x, big).reshape(n_rt, tile_n, 3)
-    xh = jnp.where(live[:, None], x, -big).reshape(n_rt, tile_n, 3)
-    return jnp.min(xl, axis=1), jnp.max(xh, axis=1)
-
-
-def box_gap_lb(lo, hi, tile_bounds):
-    """Euclidean gap between per-ray-tile origin boxes and every
-    triangle-tile AABB: (n_rt, n_tt) f32.  For unit-length ray
-    directions this lower-bounds any contained ray's slab ENTRY t into
-    the tile (entry >= distance from origin to box >= box-box gap), so
-    it is a valid — just less tight — replacement for the exact
-    per-tile entry minima in the resident kernel's packed keys: visit
-    order near-to-far, skyline exit still conservative."""
-    tmn = tile_bounds[None, :, 0:3]
-    tmx = tile_bounds[None, :, 3:6]
-    g = (jnp.maximum(tmn - hi[:, None], 0.0)
-         + jnp.maximum(lo[:, None] - tmx, 0.0))
-    return jnp.sqrt(jnp.sum(g * g, axis=-1))
-
-
-def sorted_keys_from_cand_lb(cand, lb, n_tt):
-    """Packed sweep keys (see ray_tile_entry_keys) from an explicit
-    candidate set + per-tile entry LOWER BOUNDS.  cand/lb: (n_rt,
-    n_tt).  The 0.999 deflation absorbs float rounding and any |d|
-    epsilon off unit length; bounds stay conservative."""
-    idx_bits = max(1, (n_tt - 1).bit_length())
-    idx_mask = jnp.int32((1 << idx_bits) - 1)
-    lbf = jnp.where(cand, jnp.maximum(lb, 0.0) * 0.999, jnp.inf)
-    bits = jax.lax.bitcast_convert_type(lbf, jnp.int32)
-    idx = jnp.arange(n_tt, dtype=jnp.int32)[None, :]
-    keys = (bits & ~idx_mask) | idx
-    return jnp.sort(keys, axis=1), idx_bits
-
-
-def shadow_segment_keys(tile_bounds, p, y, ok, tile_n: int = TILE_N):
-    """Sweep keys for shadow segments p->y WITHOUT any per-lane slab
-    pass: geometry of the per-ray-tile bundle instead.
-
-    Every ok lane's segment lies within max(R_p, R_y) of the segment
-    between the cluster centroids (convexity: a point at parameter s
-    is within (1-s)R_p + sR_y of the centroid segment).  A tile can
-    therefore only be hit if its AABB comes within that radius of the
-    centroid segment; two cheap LOWER bounds on that distance gate
-    candidacy — the axis-gap norm vs the segment's bounding box and
-    the tile-center-to-segment distance minus the tile half-diagonal.
-    Ordering/skyline bounds use the p-cluster box gap (entry t >=
-    distance from a lane origin to the tile box).  Over-inclusion
-    costs visits; the any-hit early exit prunes them (measured: the
-    shadow walk is exit-dominated, traverse.py OCCLUDED_SORT notes).
-
-    p, y: (N, 3); ok: (N,) lanes that actually trace.  Returns
-    (keys (n_rt, n_tt) int32 sorted, idx_bits)."""
-    n_tt = tile_bounds.shape[0]
-    p_lo, p_hi = per_rt_bounds(p, ok, tile_n)
-    y_lo, y_hi = per_rt_bounds(y, ok, tile_n)
-    n_rt = p_lo.shape[0]
-    c_p = 0.5 * (p_lo + p_hi)
-    c_y = 0.5 * (y_lo + y_hi)
-    okf = ok[:, None]
-    dp = jnp.where(okf, p - jnp.repeat(c_p, tile_n, axis=0), 0.0)
-    dy = jnp.where(okf, y - jnp.repeat(c_y, tile_n, axis=0), 0.0)
-    r_p = jnp.sqrt(jnp.max(
-        jnp.sum(dp * dp, -1).reshape(n_rt, tile_n), axis=1))
-    r_y = jnp.sqrt(jnp.max(
-        jnp.sum(dy * dy, -1).reshape(n_rt, tile_n), axis=1))
-    r = jnp.maximum(r_p, r_y) * 1.001 + 1e-5
-    tmn = tile_bounds[None, :, 0:3]
-    tmx = tile_bounds[None, :, 3:6]
-    # bound 1: axis gaps vs the centroid segment's bounding box
-    s_lo = jnp.minimum(c_p, c_y)[:, None]
-    s_hi = jnp.maximum(c_p, c_y)[:, None]
-    g = (jnp.maximum(tmn - s_hi, 0.0) + jnp.maximum(s_lo - tmx, 0.0))
-    d_box = jnp.sqrt(jnp.sum(g * g, axis=-1))
-    # bound 2: tile center to centroid segment, minus tile half-diag
-    tc = 0.5 * (tmn + tmx)                      # (1, n_tt, 3)
-    hd = 0.5 * jnp.sqrt(jnp.sum((tmx - tmn) ** 2, axis=-1))
-    u = (c_y - c_p)[:, None]
-    L2 = jnp.maximum(jnp.sum(u * u, axis=-1, keepdims=True), 1e-20)
-    s = jnp.clip(jnp.sum((tc - c_p[:, None]) * u, -1, keepdims=True)
-                 / L2, 0.0, 1.0)
-    q = c_p[:, None] + s * u
-    d_seg = jnp.sqrt(jnp.sum((tc - q) ** 2, axis=-1)) - hd
-    lbdist = jnp.maximum(d_box, d_seg) * 0.999
-    cand = lbdist <= r[:, None]
-    lb = box_gap_lb(p_lo, p_hi, tile_bounds)
-    return sorted_keys_from_cand_lb(cand, lb, n_tt)
+    return _lane_keys_impl(tile_bounds, rays_packed)
 
 
 def ray_tile_entry_keys(tile_bounds, rays_packed):
@@ -1251,8 +981,8 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     use_bw, or (10, 4*T) MXU weights when use_mxu.
     rays_packed: (8, N).  Returns (t, idx) each (N,).
     precomputed: optional (keys, idx_bits) packed candidate table
-    (sorted_keys_from_cand_lb / ray_tile_entry_keys format) — skips
-    the in-call entry-key slab pass entirely.
+    (ray_tile_entry_keys format) — skips the in-call entry-key slab
+    pass entirely.
     """
     rows, cols = tris_op.shape
     T = cols // 4 if use_mxu else cols
@@ -1283,12 +1013,16 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
         out_specs=pl.BlockSpec((TILE_N, 2), lambda i, *pref: (i, 0),
                                memory_space=pltpu.VMEM),
     )
+    # ops/pair by block variant: MT ~56 VPU ops on a (9, T) operand,
+    # Baldwin-Weber ~40 on (12, T), MXU ~20 VPU ops on (10, 4T)
+    pair_flops = 20 if use_mxu else (40 if rows == 12 else 56)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 2), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=45 * N * T // 2, bytes_accessed=4 * (9 * T + 24 * N),
+            flops=pair_flops * N * T // 2,
+            bytes_accessed=4 * (rows * cols + 24 * N),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -1341,12 +1075,10 @@ def mt_sweep_resident_keyed(tris_packed, keys, idx_bits, rays_packed,
                             any_hit: bool = False,
                             visit_w: int = VISIT_W):
     """Resident sweep with a CALLER-SUPPLIED packed candidate table
-    (keys (n_rt, n_tt) int32, sorted ascending; see
-    sorted_keys_from_cand_lb).  This is the wavefront's fast path: the
-    per-ray-tile candidate sets come from carried lane masks + cheap
-    geometric bounds instead of the sweep's own per-lane slab pass —
-    the pass and its key sort disappear from the step entirely.
-    Returns (t, idx) each (N,), idx == -1 miss."""
+    (keys (n_rt, n_tt) int32, sorted ascending, ray_tile_entry_keys
+    format).  Lets a caller compute candidate keys ONCE for several
+    sweeps (or from cheaper bounds) instead of paying the in-call slab
+    pass per sweep.  Returns (t, idx) each (N,), idx == -1 miss."""
     _, T = tris_packed.shape
     _, N = rays_packed.shape
     n_tt = T // FINE_T

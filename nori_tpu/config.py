@@ -45,27 +45,17 @@ PALLAS_MAX_TRIS = 1 << 17
 #: kernel branches get CI coverage
 FORCE_PALLAS_INTERPRET: bool = False
 
-#: wavefront: derive the closest-hit sweep's per-ray-tile candidate
-#: table from lane masks carried through the coherence sort + box-gap
-#: entry bounds, instead of the sweep's own slab pass (see
-#: pallas_mt.rt_cand_from_lane_masks).  Measured on v5e living-room
-#: (51.7k tris, 131k lanes, steady state): candidacy is IDENTICAL to
-#: the exact slab pass (7.9 tiles/ray-tile), images bit-identical, and
-#: the step time is a WASH (20.29 vs 20.38 ms) — the mask-emit matmul,
-#: OR-fold, and 16 extra carried sort columns cost what the removed
-#: entry-key pass saved.  Default OFF: same speed, fewer kernels to
-#: compile (~20 s less cold-start).  The machinery stays for scenes
-#: where the trade differs; interpret-mode tests pin its correctness.
-PREKEYED_SWEEPS: bool = False
-
-#: with PREKEYED_SWEEPS: also replace the NEE shadow sweep's slab pass
-#: with segment-bundle candidate keys (pallas_mt.shadow_segment_keys).
-#: Default OFF: measured 23x over-inclusive on living-room (351.8 vs
-#: 15.2 candidate tiles/ray-tile; any-hit sweep 148.7 vs 30.7 ms) —
-#: per-ray-tile origin/light cluster radii span the scene once bounce
-#: receivers spread, so the bundle admits nearly every tile.  The
-#: exact per-lane slab pass stays the shadow path.
-PREKEYED_SHADOW: bool = False
+#: NOTE (negative result, r3->r4): a "prekeyed sweeps" path that
+#: carried exact per-lane candidate bitmasks through the coherence
+#: sort and rebuilt both sweeps' per-ray-tile candidate tables from
+#: them (replacing each sweep's own slab pass) was built, tested and
+#: measured: a WASH for the closest sweep (20.29 vs 20.38 ms full MIS
+#: step, living-room 131k lanes — the mask-emit matmul + OR-fold +
+#: 16 extra carried sort columns cost what the removed entry pass
+#: saved) and 23x over-inclusive for the shadow sweep via
+#: segment-bundle bounds (148.7 vs 30.7 ms any-hit).  The ~725-line
+#: machinery was removed; mt_sweep_resident_keyed (the caller-keyed
+#: sweep entry point it validated) stays, tested.
 
 
 def on_tpu() -> bool:

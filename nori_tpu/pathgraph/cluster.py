@@ -46,28 +46,45 @@ def build_clusters(pos: np.ndarray, dims, bbox_min, bbox_max, k: int,
     cluster_id = _nearest_seed(pos, seed_pos, sgrid)
 
     # split oversize clusters (reference subdivides twice; we loop until
-    # converged or 4 rounds)
+    # converged or 4 rounds).  Fully vectorized: the obvious
+    # per-cluster `np.nonzero(cluster_id == c)` loop is O(big * N) and
+    # measured at tens of minutes per protocol-scale run (7.4M points,
+    # ~20k oversize clusters); this formulation is two sorts + reduceat
+    # passes per round regardless of how many clusters split.
     cap = max_size_factor * k
+    n_seeds = len(seed_pos)
     for _ in range(4):
-        sizes = np.bincount(cluster_id, minlength=len(seed_pos))
-        big = np.nonzero(sizes > cap)[0]
-        if len(big) == 0:
+        sizes = np.bincount(cluster_id, minlength=n_seeds)
+        if sizes.max(initial=0) <= cap:
             break
-        new_seed_pos = [seed_pos]
-        next_id = len(seed_pos)
-        for c in big:
-            members = np.nonzero(cluster_id == c)[0]
-            # split along the widest axis at the median
-            p = pos[members]
-            axis = int(np.argmax(p.max(0) - p.min(0)))
-            med = np.median(p[:, axis])
-            half = members[p[:, axis] > med]
-            if len(half) == 0 or len(half) == len(members):
-                half = members[len(members) // 2:]
-            cluster_id[half] = next_id
-            new_seed_pos.append(pos[half].mean(0, keepdims=True))
-            next_id += 1
-        seed_pos = np.concatenate(new_seed_pos, axis=0)
+        # per-cluster widest axis from reduceat extents over the
+        # cluster-sorted order
+        order = np.argsort(cluster_id, kind="stable")
+        starts = np.concatenate(
+            [[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        nonempty = sizes > 0
+        ps = pos[order]
+        red_starts = np.minimum(starts, max(len(order) - 1, 0))
+        mins = np.minimum.reduceat(ps, red_starts, axis=0)
+        maxs = np.maximum.reduceat(ps, red_starts, axis=0)
+        ext = np.where(nonempty[:, None], maxs - mins, 0.0)
+        axis_of = np.argmax(ext, axis=1)          # (C,)
+        # rank each point inside its cluster along that axis: sort by
+        # (cluster, coord); the upper size//2 ranks split off.  Rank
+        # splitting is the original median split with deterministic
+        # tie handling (the old code's fallback for degenerate
+        # medians was exactly members[size//2:]).
+        coord = pos[np.arange(n), axis_of[cluster_id]]
+        o2 = np.lexsort((coord, cluster_id))
+        rank = np.arange(n, dtype=np.int64) - starts[cluster_id[o2]]
+        big_here = sizes[cluster_id[o2]] > cap
+        upper = big_here & (rank >= sizes[cluster_id[o2]] // 2)
+        split_pts = o2[upper]
+        split_cl = cluster_id[split_pts]
+        # one new id per split cluster
+        uniq, inv = np.unique(split_cl, return_inverse=True)
+        cluster_id[split_pts] = n_seeds + inv.astype(cluster_id.dtype)
+        n_seeds += len(uniq)
 
     # compact empty clusters + build offsets
     used, cluster_id = np.unique(cluster_id, return_inverse=True)

@@ -77,11 +77,7 @@ REC_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
 def _pack_state(st, rec_q, rec_l):
-    """State dict (+ record columns) -> (N, 23 [+W]) f32 matrix.
-    When the state carries candidate-mask words ("cmask", the prekeyed
-    sweep path) they ride as W bitcast columns between L and the
-    record columns, so the whole step state still crosses the
-    coherence permutation as ONE fused gather."""
+    """State dict (+ record columns) -> (N, 23) f32 matrix."""
     f32 = jnp.float32
     cols = [
         jax.lax.bitcast_convert_type(st["q"], f32)[:, None],
@@ -92,18 +88,14 @@ def _pack_state(st, rec_q, rec_l):
         st["mint"][:, None],
         st["maxt"][:, None],
         st["o"], st["d"], st["beta"], st["L"],
-    ]
-    if "cmask" in st:
-        cols.append(jax.lax.bitcast_convert_type(st["cmask"], f32))
-    cols.extend([
         jax.lax.bitcast_convert_type(rec_q, f32)[:, None],
         rec_l,
-    ])
+    ]
     return jnp.concatenate(cols, axis=1)
 
 
-def _unpack_state(m, q0, mask_w: int = 0):
-    st = dict(
+def _unpack_state(m, q0):
+    return dict(
         q=jax.lax.bitcast_convert_type(m[:, 0], jnp.uint32),
         depth=jax.lax.bitcast_convert_type(m[:, 1], jnp.int32),
         active=m[:, 2] > 0.5,
@@ -114,10 +106,6 @@ def _unpack_state(m, q0, mask_w: int = 0):
         o=m[:, 7:10], d=m[:, 10:13], beta=m[:, 13:16], L=m[:, 16:19],
         q0=q0,
     )
-    if mask_w:
-        st["cmask"] = jax.lax.bitcast_convert_type(
-            m[:, 19:19 + mask_w], jnp.int32)
-    return st
 
 
 def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
@@ -130,14 +118,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     pixel (q // spp).  records rows are [q-bits, L.rgb]; rows past the
     cursor are garbage that later windows overwrite.
     """
-    from nori_tpu import config
-    from nori_tpu.accel.pallas_mt import (
-        RESIDENT_VMEM_BUDGET, TILE_N, lane_sort_keys_masks, pack_rays,
-        rt_cand_from_lane_masks, per_rt_bounds, box_gap_lb,
-        sorted_keys_from_cand_lb, shadow_segment_keys,
-        mt_sweep_resident_keyed,
-    )
-    from nori_tpu.accel.traverse import sweep_hit_epilogue
+    from nori_tpu.accel.pallas_mt import pack_rays
 
     cam = scene.camera
     w, h = cam.output_size
@@ -150,21 +131,6 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         # coherence sorting only pays off when the sweep has enough
         # triangle tiles for culling to prune
         sort_rays = sdc.tri_tile_bounds.shape[0] >= 16
-    # prekeyed sweeps: lanes carry their exact candidate-tile bitmask
-    # (computed once per step by the lane-key slab pass) through the
-    # coherence sort; both sweeps' per-ray-tile candidate tables are
-    # then derived from the masks + cheap geometric entry bounds
-    # instead of their own full slab passes (measured: each entry-key
-    # pass costs ~2.4 ms of the 20.5 ms living-room step)
-    n_tt_build = int(sdc.tri_tile_bounds.shape[0])
-    resident = 9 * sdc.tri_packed.shape[1] * 4 <= RESIDENT_VMEM_BUDGET
-    prekeyed = (config.PREKEYED_SWEEPS
-                and bool(sort_rays) and n_tt_build > 28 and resident
-                and N % TILE_N == 0
-                and (config.resolve_accel(sdc.tri_v0.shape[0]) == "pallas"
-                     or config.FORCE_PALLAS_INTERPRET))
-    prekeyed_shadow = prekeyed and config.PREKEYED_SHADOW
-    mask_w = (-(-n_tt_build // 128) * 128) // 32 if prekeyed else 0
 
     def camera_ray(seed, q):
         pix = jnp.minimum(q // jnp.uint32(spp), jnp.uint32(w * h - 1))
@@ -191,10 +157,6 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             spec=jnp.ones((N,), bool),
             prev_pdf=jnp.zeros((N,), jnp.float32),
         )
-        if prekeyed:
-            rays_p, _ = pack_rays(o, d, mint, maxt)
-            _, _, m0 = lane_sort_keys_masks(sdc.tri_tile_bounds, rays_p)
-            state["cmask"] = m0[:N]
         records = jnp.concatenate([
             jnp.full((chunk + N, 1),
                      jax.lax.bitcast_convert_type(REC_SENTINEL, jnp.float32)),
@@ -218,21 +180,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         spec, prev_pdf = st["spec"], st["prev_pdf"]
 
         rays = rays + jnp.sum(active, dtype=jnp.int32)
-        n_tt_s0 = int(sd.tri_tile_bounds.shape[0])
-        if prekeyed:
-            # candidate table from the masks carried through the sort
-            # (exact) + box-gap entry bounds (conservative): no slab
-            # pass, no key sort — see mt_sweep_resident_keyed
-            rays_p, _ = pack_rays(o, d, mint, maxt)
-            cand = rt_cand_from_lane_masks(st["cmask"], n_tt_s0)
-            olo, ohi = per_rt_bounds(o, mint <= maxt)
-            lb = box_gap_lb(olo, ohi, sd.tri_tile_bounds)
-            keys_c, ib_c = sorted_keys_from_cand_lb(cand, lb, n_tt_s0)
-            t_c, i_c = mt_sweep_resident_keyed(
-                sd.tri_packed, keys_c, ib_c, rays_p)
-            hit = sweep_hit_epilogue(sd, rays_p, t_c, i_c, N)
-        else:
-            hit = intersect(sd, o, d, mint, maxt)
+        hit = intersect(sd, o, d, mint, maxt)
         its = fill_interaction_fast(sd, hit, o, d)
         live_hit = active & its.valid
 
@@ -300,18 +248,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             # sweep COSTS more than it saves — the argsort + gathers
             # add ~2.3 ms while the any-hit early exit already prunes
             # mostly-culled tiles)
-            if prekeyed_shadow:
-                # conservative candidate table from the shadow-bundle
-                # geometry (origin/light clusters per ray tile): the
-                # shadow sweep's own slab pass disappears too
-                rays_s, _ = pack_rays(its.p, wo_w, smint, smaxt)
-                keys_s, ib_s = shadow_segment_keys(
-                    sd.tri_tile_bounds, its.p, y, ok)
-                _, i_s = mt_sweep_resident_keyed(
-                    sd.tri_packed, keys_s, ib_s, rays_s, any_hit=True)
-                vis = ~(i_s[:N] >= 0)
-            else:
-                vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
+            vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
             rays = rays + jnp.sum(ok, dtype=jnp.int32)
             if mode == MIS:
                 p_b = pdf_bsdf(params, wi_local, wo_local)
@@ -427,15 +364,10 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             # whose candidate walks agree both up close and globally;
             # the exact multi-word sort would need a 27-operand
             # lax.sort whose XLA compile time explodes (~20 min).
-            rays_pn, _ = pack_rays(o, d, mint, maxt)
-            if prekeyed:
-                sk1, sk2, nmask = lane_sort_keys_masks(
-                    sd.tri_tile_bounds, rays_pn)
-                st["cmask"] = nmask[:N]
-            else:
-                from nori_tpu.accel.pallas_mt import lane_sort_keys
+            from nori_tpu.accel.pallas_mt import lane_sort_keys
 
-                sk1, sk2 = lane_sort_keys(sd.tri_tile_bounds, rays_pn)
+            rays_pn, _ = pack_rays(o, d, mint, maxt)
+            sk1, sk2 = lane_sort_keys(sd.tri_tile_bounds, rays_pn)
             sk1, sk2 = sk1[:N], sk2[:N]
             key = jnp.where(
                 done, KEY_DONE, jnp.where(active, sk1, KEY_IDLE))
@@ -447,8 +379,8 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 jnp.where(active, jnp.int32(0), KEY_IDLE))
             perm = jnp.argsort(key)
         m = _pack_state(st, rec_q, rec_l)[perm]
-        st = _unpack_state(m, q0, mask_w)
-        window = m[::-1, 19 + mask_w:23 + mask_w]
+        st = _unpack_state(m, q0)
+        window = m[::-1, 19:23]
         records = jax.lax.dynamic_update_slice(records, window, (w_cur, 0))
         w_cur = w_cur + n_flush
         return (st, next_q, records, w_cur, rays, q_hi)
@@ -498,11 +430,6 @@ def make_shrink(n_from: int, n_to: int):
         # inactive packed lanes must keep empty ray intervals
         new_st["mint"] = jnp.where(small_active, new_st["mint"], 1.0)
         new_st["maxt"] = jnp.where(small_active, new_st["maxt"], -1.0)
-        if "cmask" in new_st:
-            # stale gathered masks would only over-include candidates
-            # (harmless), but zeroing keeps the sweep walks tight
-            new_st["cmask"] = jnp.where(
-                small_active[:, None], new_st["cmask"], 0)
         return (new_st, next_q, records, w_cur, rays, q_hi)
 
     return shrink

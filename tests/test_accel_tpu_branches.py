@@ -130,11 +130,21 @@ def test_resident_sweep_bw_variant(sd, rays):
     t, idx = t[:n], idx[:n]
     v = np.asarray(oracle.valid)
     assert np.array_equal(np.asarray(idx >= 0), v)
-    assert np.array_equal(np.asarray(idx)[v], np.asarray(oracle.tri)[v])
     # t comes from the plane equation instead of MT's scaled triple
     # product: equal to a few ULPs, not to MT's own rounding
     np.testing.assert_allclose(
         np.asarray(t)[v], np.asarray(oracle.t)[v], rtol=1e-4, atol=1e-5)
+    # the closest-hit WINNER may legitimately flip between the two
+    # formulas when two candidates' t values near-tie (observed
+    # bit-identical on this fixture, but don't pin that): accept a
+    # winner mismatch only where the oracle shows a near-tie
+    got_i = np.asarray(idx)[v]
+    ref_i = np.asarray(oracle.tri)[v]
+    mism = got_i != ref_i
+    if mism.any():
+        tt = np.asarray(t)[v][mism]
+        rt = np.asarray(oracle.t)[v][mism]
+        np.testing.assert_allclose(tt, rt, rtol=1e-5, atol=1e-6)
 
 
 def test_resident_sweep_bw_any_hit(sd, rays):
