@@ -40,6 +40,15 @@ USE_BW_SWEEP: bool = True
 #: dense-sweep cutoff: above this triangle count use the BVH
 PALLAS_MAX_TRIS = 1 << 17
 
+#: resident-sweep visit width override (None = the kernel default,
+#: pallas_mt.VISIT_W).  W candidate tiles are tested per while_loop
+#: iteration: wider visits amortize the scalar loop step on scenes
+#: with long candidate walks (living-room), but over-test up to W-1
+#: tiles per ray tile at the skyline exit — a real cost on scenes
+#: whose walks are only a few tiles long (cbox).  Benchmarks may tune
+#: this per scene.
+SWEEP_VISIT_W: int | None = None
+
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only
 #: kernel branches get CI coverage

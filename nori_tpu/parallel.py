@@ -248,9 +248,18 @@ def _lift_shapes(tree):
         if r.ndim == 0 else r, tree)
 
 
+#: default per-device lane pool.  Measured on one v5e chip (living-room
+#: 1280x720 spp=32, 2026-08-19/20): 131k -> 5.4, 262k -> 9.46,
+#: 512k -> 11.36 Mrays/s, 768k -> 11.06 (regression: drain-tail decay
+#: outruns amortization past ~512k).  Per-step fixed costs amortize
+#: across the pool width, so the sharded driver defaults to the same
+#: measured optimum as bench.py's single-chip runs.
+N_LANES_DEV_DEFAULT = 524288
+
+
 def render_sharded_wavefront(scene, mesh: Mesh | None = None,
                              spp: int | None = None, seed: int = 0,
-                             n_lanes_dev: int = 131072,
+                             n_lanes_dev: int = N_LANES_DEV_DEFAULT,
                              chunk_dev: int | None = None,
                              max_iters: int = 100000,
                              check_every: int = 16,
@@ -340,6 +349,7 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
 
     t0 = time.time()
     steps_total = wide_total = 0
+    rays_per_dev = np.zeros(n_dev, np.int64)
     done = q_start >= total_q
     shrink_at = n_lanes_dev // SHRINK_FACTOR
     for q0 in range(q_start, total_q, global_chunk):
@@ -370,7 +380,9 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
             raise RuntimeError("sharded wavefront did not drain")
         parts, rays = (small_films if small else sharded_films)(
             carry, seed_arr)
-        rays_total += int(np.sum(np.asarray(rays)))
+        rays_np = np.asarray(rays).reshape(-1)
+        rays_per_dev += rays_np.astype(np.int64)
+        rays_total += int(np.sum(rays_np))
         # left-associative fold in q order == single-device chunk order
         for i in range(n_dev):
             film = film + parts[i]
@@ -393,6 +405,10 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
         "spp": spp, "seconds": dt, "rays": rays_total,
         "mrays_per_sec": rays_total / max(dt, 1e-9) / 1e6,
         "devices": n_dev, "steps": steps_total, "wide_steps": wide_total,
+        # per-device traced-ray counts: balanced static q partitions
+        # should agree within the scene's per-pixel bounce variance;
+        # a skewed row means a device mesh/sharding bug, not noise
+        "rays_per_dev": rays_per_dev.tolist(),
         "done": done,
     }
 
