@@ -284,7 +284,9 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
                         t_ref,
                         *, n_tt: int, idx_bits: int, any_hit: bool,
                         use_mxu: bool, use_bw: bool = False,
-                        visit_w: int = VISIT_W):
+                        visit_w: int = VISIT_W,
+                        n_keys: int | None = None,
+                        overflow: bool = False):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
@@ -327,6 +329,8 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     output writes floored a zero-visit 131k-ray sweep at ~3 ms; packed,
     the floor is ~1.2 ms.
     """
+    if n_keys is None:
+        n_keys = n_tt
     i = pl.program_id(0)
     rays = ray_ref[:, :]
 
@@ -355,10 +359,10 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
 
     def cond(carry):
         k, t_hi, alive, bt, bi = carry
-        kc = jnp.minimum(k, n_tt - 1)  # avoid OOB read at k == n_tt
+        kc = jnp.minimum(k, n_keys - 1)  # avoid OOB read at k == n_keys
         lb_bits = oe_ref[i, kc] & ~idx_mask
         # non-candidate ranks decode to inf bits > any finite t_hi
-        return (k < n_tt) & alive & (lb_bits <= t_hi)
+        return (k < n_keys) & alive & (lb_bits <= t_hi)
 
     if use_mxu:
         cxr = oy * dz - oz * dy
@@ -369,6 +373,64 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
              jnp.ones((TILE_N, 1), jnp.float32),
              jnp.zeros((TILE_N, 6), jnp.float32)], axis=1)  # (N, 16)
 
+    def visit(jj, bt, bi):
+        """Test triangle tile jj against every lane; fold closest."""
+        if use_mxu:
+            w = tri_ref[:, pl.ds(jj * 4 * FINE_T, 4 * FINE_T)]
+            prod = jax.lax.dot_general(
+                feats, w, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                   # (N, 4*FINE_T)
+            det = prod[:, 0 * FINE_T:1 * FINE_T]
+            un = prod[:, 1 * FINE_T:2 * FINE_T]
+            vn = prod[:, 2 * FINE_T:3 * FINE_T]
+            tn = prod[:, 3 * FINE_T:4 * FINE_T]
+            ok = jnp.abs(det) > 1e-8
+            r = 1.0 / jnp.where(ok, det, 1.0)
+            u = un * r
+            v = vn * r
+            t = tn * r
+            hit = (
+                ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (t >= mint) & (t <= maxt)
+            )
+        else:
+            tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
+            blk = _bw_block if use_bw else _mt_block
+            hit, t, u, v = blk(
+                tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+        tm = jnp.where(hit, t, jnp.inf)
+        tile_min = jnp.min(tm, axis=1, keepdims=True)
+        # ties break toward the lowest lane index; u/v are NOT
+        # selected here — the interaction fill recomputes them from
+        # the winning triangle (one row of the attribute gather it
+        # already does), which cuts the per-visit epilogue from 5
+        # lane reductions to 2
+        is_min = (tm == tile_min) & hit
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_N, FINE_T), 1)
+        min_lane = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(FINE_T)),
+            axis=1, keepdims=True)
+        better = tile_min < bt
+        bt = jnp.where(better, tile_min, bt)
+        bi = jnp.where(better, min_lane + jj * FINE_T, bi)
+        return bt, bi
+
+    def fold(bt, bi):
+        """Exit-rule epilogue shared by both walks: recompute the
+        skyline t_hi and whether any lane still needs tiles."""
+        if any_hit:
+            live_n = live0 & (bi < 0)
+            alive = jnp.any(live_n)
+        else:
+            live_n = live0
+        t_hi_n = t_hi_of(bt, live_n)
+        if not any_hit:
+            alive = t_hi_n > 0   # int bits: 0 == float 0.0
+        return t_hi_n, alive
+
     def body(carry):
         k, t_hi, alive, bt, bi = carry
         # W consecutive candidate ranks per iteration: the SMEM fetch /
@@ -378,57 +440,10 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
         # re-test a tile already folded (idempotent) or a non-candidate
         # tile (pure miss) — correct either way.
         for w_i in range(visit_w):
-            kk = jnp.minimum(k + w_i, n_tt - 1) if w_i else k
+            kk = jnp.minimum(k + w_i, n_keys - 1) if w_i else k
             jj = oe_ref[i, kk] & idx_mask
-            if use_mxu:
-                w = tri_ref[:, pl.ds(jj * 4 * FINE_T, 4 * FINE_T)]
-                prod = jax.lax.dot_general(
-                    feats, w, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )                                   # (N, 4*FINE_T)
-                det = prod[:, 0 * FINE_T:1 * FINE_T]
-                un = prod[:, 1 * FINE_T:2 * FINE_T]
-                vn = prod[:, 2 * FINE_T:3 * FINE_T]
-                tn = prod[:, 3 * FINE_T:4 * FINE_T]
-                ok = jnp.abs(det) > 1e-8
-                r = 1.0 / jnp.where(ok, det, 1.0)
-                u = un * r
-                v = vn * r
-                t = tn * r
-                hit = (
-                    ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                    & (u + v <= 1.0) & (t >= mint) & (t <= maxt)
-                )
-            else:
-                tris = tri_ref[:, pl.ds(jj * FINE_T, FINE_T)]
-                blk = _bw_block if use_bw else _mt_block
-                hit, t, u, v = blk(
-                    tris, ox, oy, oz, dx, dy, dz, mint, maxt)
-            tm = jnp.where(hit, t, jnp.inf)
-            tile_min = jnp.min(tm, axis=1, keepdims=True)
-            # ties break toward the lowest lane index; u/v are NOT
-            # selected here — the interaction fill recomputes them from
-            # the winning triangle (one row of the attribute gather it
-            # already does), which cuts the per-visit epilogue from 5
-            # lane reductions to 2
-            is_min = (tm == tile_min) & hit
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_N, FINE_T), 1)
-            min_lane = jnp.min(
-                jnp.where(is_min, lane, jnp.int32(FINE_T)),
-                axis=1, keepdims=True)
-            better = tile_min < bt
-            bt = jnp.where(better, tile_min, bt)
-            bi = jnp.where(better, min_lane + jj * FINE_T, bi)
-        if any_hit:
-            live_n = live0 & (bi < 0)
-            alive = jnp.any(live_n)
-        else:
-            live_n = live0
-        t_hi_n = t_hi_of(bt, live_n)
-        if not any_hit:
-            alive = t_hi_n > 0   # int bits: 0 == float 0.0
+            bt, bi = visit(jj, bt, bi)
+        t_hi_n, alive = fold(bt, bi)
         return k + visit_w, t_hi_n, alive, bt, bi
 
     t_hi0 = t_hi_of(bt0[:, :1], live0)
@@ -437,13 +452,42 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
         cond, body,
         (jnp.int32(0), t_hi0, alive0, bt0, bi0),
     )
+
+    if overflow:
+        # K-capped key rows: when this ray tile's candidate list was
+        # truncated (flag word after the stored keys), the stored walk
+        # may not cover every candidate — finish EXACTLY by sweeping
+        # ALL tiles in index order.  Re-testing stored tiles is
+        # idempotent; aliveness restarts from the fold state (the
+        # stored walk's skyline exit can't prove coverage here, but
+        # "every shadow lane hit" / "t_hi == 0" still can).
+        ov = oe_ref[i, n_keys] != 0
+        t_hi_f, alive_f = fold(bt, bi)
+
+        def cond2(carry):
+            j, t_hi, alive, bt, bi = carry
+            return (j < n_tt) & alive
+
+        def body2(carry):
+            j, t_hi, alive, bt, bi = carry
+            for w_i in range(visit_w):
+                jj = jnp.minimum(j + w_i, n_tt - 1) if w_i else j
+                bt, bi = visit(jj, bt, bi)
+            t_hi_n, alive = fold(bt, bi)
+            return j + visit_w, t_hi_n, alive, bt, bi
+
+        start = jnp.where(ov, jnp.int32(0), jnp.int32(n_tt))
+        _, _, _, bt, bi = jax.lax.while_loop(
+            cond2, body2, (start, t_hi_f, alive_f, bt, bi))
+
     t_ref[:, 0:1] = bt
     t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
 
 
 def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
                       *, n_tt: int, idx_bits: int, tile_t: int,
-                      any_hit: bool):
+                      any_hit: bool, n_keys: int | None = None,
+                      overflow: bool = False):
     """HBM-streamed sweep for scenes whose triangle soup exceeds VMEM
     (the reference's ajax-class scans, ~544k tris:
     scenes/pa2/ajax-normals.xml, src/accel.cpp:24-29's assignment
@@ -458,6 +502,8 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
     loop body waits copy k and starts copy k+1 (index clamped), so
     exactly one copy is in flight at loop exit — the epilogue waits it.
     """
+    if n_keys is None:
+        n_keys = n_tt
     i = pl.program_id(0)
     rays = ray_ref[:, :]
 
@@ -476,30 +522,22 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
         return jnp.max(jax.lax.bitcast_convert_type(t_cap, jnp.int32))
 
     def jj_of(k):
-        return oe_ref[i, jnp.minimum(k, n_tt - 1)] & idx_mask
+        return oe_ref[i, jnp.minimum(k, n_keys - 1)] & idx_mask
 
-    def copy_for(k):
-        jj = jj_of(k)
-        slot = jax.lax.rem(k, 2)
+    def copy_tile(jj, slot):
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(jj * tile_t, tile_t)],
             buf.at[slot], sem.at[slot])
+
+    def copy_for(k):
+        return copy_tile(jj_of(k), jax.lax.rem(k, 2))
 
     copy_for(0).start()
 
     bt0 = jnp.full((TILE_N, 1), jnp.inf, jnp.float32)
     bi0 = jnp.full((TILE_N, 1), -1, jnp.int32)
 
-    def cond(carry):
-        k, t_hi, alive, bt, bi = carry
-        lb_bits = oe_ref[i, jnp.minimum(k, n_tt - 1)] & ~idx_mask
-        return (k < n_tt) & alive & (lb_bits <= t_hi)
-
-    def body(carry):
-        k, t_hi, alive, bt, bi = carry
-        copy_for(k + 1).start()
-        copy_for(k).wait()
-        slot = jax.lax.rem(k, 2)
+    def fold_tile(jj, slot, bt, bi):
         tris = buf[slot]
         hit, t, u, v = _mt_block(
             tris, ox, oy, oz, dx, dy, dz, mint, maxt)
@@ -512,7 +550,10 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
             axis=1, keepdims=True)
         better = tile_min < bt
         bt = jnp.where(better, tile_min, bt)
-        bi = jnp.where(better, min_lane + jj_of(k) * tile_t, bi)
+        bi = jnp.where(better, min_lane + jj * tile_t, bi)
+        return bt, bi
+
+    def fold_alive(bt, bi):
         if any_hit:
             live_n = live0 & (bi < 0)
             alive = jnp.any(live_n)
@@ -521,6 +562,19 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
         t_hi_n = t_hi_of(bt, live_n)
         if not any_hit:
             alive = t_hi_n > 0
+        return t_hi_n, alive
+
+    def cond(carry):
+        k, t_hi, alive, bt, bi = carry
+        lb_bits = oe_ref[i, jnp.minimum(k, n_keys - 1)] & ~idx_mask
+        return (k < n_keys) & alive & (lb_bits <= t_hi)
+
+    def body(carry):
+        k, t_hi, alive, bt, bi = carry
+        copy_for(k + 1).start()
+        copy_for(k).wait()
+        bt, bi = fold_tile(jj_of(k), jax.lax.rem(k, 2), bt, bi)
+        t_hi_n, alive = fold_alive(bt, bi)
         return k + 1, t_hi_n, alive, bt, bi
 
     t_hi0 = t_hi_of(bt0[:, :1], live0)
@@ -530,11 +584,43 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
         (jnp.int32(0), t_hi0, alive0, bt0, bi0),
     )
     copy_for(k_end).wait()   # the one copy still in flight
+
+    if overflow:
+        # truncated candidate rows: finish EXACTLY by streaming ALL
+        # tiles in index order (same fallback as the resident kernel;
+        # see ray_tile_entry_keys).  The prologue copy starts
+        # unconditionally (a clamped, wasted slab when the row didn't
+        # overflow) so exactly one copy is in flight at every wait.
+        ov = oe_ref[i, n_keys] != 0
+        t_hi_f, alive_f = fold_alive(bt, bi)
+        start = jnp.where(ov & alive_f, jnp.int32(0), jnp.int32(n_tt))
+        copy_tile(jnp.minimum(start, n_tt - 1),
+                  jax.lax.rem(start, 2)).start()
+
+        def cond2(carry):
+            j, t_hi, alive, bt, bi = carry
+            return (j < n_tt) & alive
+
+        def body2(carry):
+            j, t_hi, alive, bt, bi = carry
+            copy_tile(jnp.minimum(j + 1, n_tt - 1),
+                      jax.lax.rem(j + 1, 2)).start()
+            copy_tile(j, jax.lax.rem(j, 2)).wait()
+            bt, bi = fold_tile(j, jax.lax.rem(j, 2), bt, bi)
+            t_hi_n, alive = fold_alive(bt, bi)
+            return j + 1, t_hi_n, alive, bt, bi
+
+        j_end, _, _, bt, bi = jax.lax.while_loop(
+            cond2, body2, (start, t_hi_f, alive_f, bt, bi))
+        copy_tile(jnp.minimum(j_end, n_tt - 1),
+                  jax.lax.rem(j_end, 2)).wait()
+
     t_ref[:, 0:1] = bt
     t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
 
 
-def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
+def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
+                 key_cap: int | None = None):
     """One pallas_call of the streamed kernel over all given rays.
     tris_packed rows must be 8-aligned on TPU (scene.compile pads
     streamed soups to 16 rows) for the HBM DMA slices."""
@@ -544,11 +630,17 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
     n_tt = tile_bounds.shape[0]
     tile_t = T // n_tt
 
-    order_entry, idx_bits = ray_tile_entry_keys(tile_bounds, rays_packed)
+    if key_cap is None:
+        key_cap = RESIDENT_KEY_CAP
+    order_entry, idx_bits = ray_tile_entry_keys(
+        tile_bounds, rays_packed, cap=key_cap)
+    n_cols = order_entry.shape[1]
+    overflow = n_cols != n_tt
+    n_keys = n_cols - 1 if overflow else n_tt
 
     kernel = functools.partial(
         _mt_stream_kernel, n_tt=n_tt, idx_bits=idx_bits, tile_t=tile_t,
-        any_hit=any_hit)
+        any_hit=any_hit, n_keys=n_keys, overflow=overflow)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -578,25 +670,32 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool):
     return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
+@functools.partial(jax.jit, static_argnames=("any_hit", "key_cap"))
 def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
-                      any_hit: bool = False):
+                      any_hit: bool = False,
+                      key_cap: int | None = None):
     """HBM-streamed sweep; returns (t, idx) each (N,), idx == -1 miss.
-    Rays are chunked so the prefetched key table fits the SMEM budget
-    (big scenes have many tiles, so chunks are smaller than the
-    resident kernel's)."""
+    Rays are chunked so the prefetched key table fits the SMEM budget;
+    key rows are K-capped with the exact all-tiles fallback (see
+    ray_tile_entry_keys), which matters even more here than for the
+    resident kernel — streamed-scale scenes have the most tiles.
+    key_cap overrides RESIDENT_KEY_CAP (tests)."""
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
-    pad_cols = -(-n_tt // 128) * 128
+    cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
+    kc = cap + 1 if cap + 1 < n_tt else n_tt
+    pad_cols = -(-kc // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
-        return _stream_call(tris_packed, tile_bounds, rays_packed, any_hit)
+        return _stream_call(tris_packed, tile_bounds, rays_packed,
+                            any_hit, key_cap=cap)
     outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _stream_call(
-            tris_packed, tile_bounds, rays_packed[:, lo:hi], any_hit)
+            tris_packed, tile_bounds, rays_packed[:, lo:hi], any_hit,
+            key_cap=cap)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)
@@ -612,8 +711,15 @@ RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 
 #: SMEM budget for the packed order|entry prefetch operand (bytes);
 #: the hardware bank is 1MB and the padded operand costs
-#: n_rt * roundup(2*n_tt, 128) * 4
+#: n_rt * roundup(cols, 128) * 4
 RESIDENT_SMEM_BUDGET = 512 * 1024
+
+#: keys kept per ray-tile row when the scene has more tiles than this
+#: (+1 flag column rounds the row to exactly 128 SMEM words); rows
+#: with more candidates take the kernels' exact all-tiles fallback.
+#: See ray_tile_entry_keys — this is what keeps huge-N sweeps at 1-2
+#: pallas calls instead of ceil(N / 65k).
+RESIDENT_KEY_CAP = 127
 
 
 def _entry_kernel(tb_ref, ray_ref, out_ref, *, n_tt_pad: int):
@@ -899,7 +1005,7 @@ def lane_sort_keys(tile_bounds, rays_packed):
     return _lane_keys_impl(tile_bounds, rays_packed)
 
 
-def ray_tile_entry_keys(tile_bounds, rays_packed):
+def ray_tile_entry_keys(tile_bounds, rays_packed, cap: int | None = None):
     """Packed candidate keys for the resident sweep.
 
     Per (ray tile, triangle tile): the minimum slab-entry distance with
@@ -911,7 +1017,19 @@ def ray_tile_entry_keys(tile_bounds, rays_packed):
     Non-candidates pack to inf/NaN bit patterns that sort last and
     decode to bounds that fail the `lb <= t_hi` check.
 
-    Returns (keys (n_rt, n_tt) int32, idx_bits).
+    cap: keep only the `cap` nearest-entry keys per row, plus ONE
+    int32 overflow flag column (row held more than `cap` candidates).
+    The kernels finish flagged rows with an exact all-tiles sweep.
+    Why: the prefetched SMEM operand costs n_rt x roundup(cols, 128)
+    words, and the SMEM budget is what chunks big-N sweeps into
+    multiple pallas calls — on the 512k-lane living-room steady state
+    the full 404-tile rows force 8 calls/sweep while the candidate
+    rows hold 6.2 tiles on average (p99 = 111, max 252; measured
+    2026-08-20), so cap=127 collapses that to 2 calls with 0.8% of
+    rows taking the fallback.
+
+    Returns (keys (n_rt, n_tt) int32 — or (n_rt, cap+1) when capped —
+    and idx_bits).
     """
     n_tt = tile_bounds.shape[0]
     idx_bits = max(1, (n_tt - 1).bit_length())
@@ -926,8 +1044,15 @@ def ray_tile_entry_keys(tile_bounds, rays_packed):
             else rays_packed.shape[1], _entries_only=True)
     bits = jax.lax.bitcast_convert_type(entry_rt, jnp.int32)
     idx = jnp.arange(n_tt, dtype=jnp.int32)[None, :]
-    keys = (bits & ~idx_mask) | idx
-    return jnp.sort(keys, axis=1), idx_bits
+    keys = jnp.sort((bits & ~idx_mask) | idx, axis=1)
+    if cap is not None and cap + 1 < n_tt:
+        # the cap-th sorted key still being finite (a candidate) means
+        # the row holds more than cap candidates; idx_bits < 23 so the
+        # masked entry bits of +inf stay exactly 0x7F800000
+        ov = ((keys[:, cap] & ~idx_mask)
+              < jnp.int32(0x7F800000)).astype(jnp.int32)
+        keys = jnp.concatenate([keys[:, :cap], ov[:, None]], axis=1)
+    return keys, idx_bits
 
 
 def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N,
@@ -974,7 +1099,8 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N,
 
 def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
                    use_mxu: bool, visit_w: int = VISIT_W,
-                   precomputed=None, use_bw: bool = False):
+                   precomputed=None, use_bw: bool = False,
+                   key_cap: int | None = None):
     """One pallas_call of the resident kernel over all given rays.
 
     tris_op: (9, T) soup, (12, T) Baldwin-Weber transforms when
@@ -990,16 +1116,23 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     n_rt = N // TILE_N
     n_tt = T // FINE_T
 
+    if key_cap is None:
+        key_cap = RESIDENT_KEY_CAP
     if precomputed is not None:
         order_entry, idx_bits = precomputed
     else:
         order_entry, idx_bits = ray_tile_entry_keys(
-            tile_bounds, rays_packed)
+            tile_bounds, rays_packed, cap=key_cap)
+    # capped rows carry a trailing overflow-flag column (cap + 1 < n_tt
+    # by construction, so the column count disambiguates the layouts)
+    n_cols = order_entry.shape[1]
+    overflow = n_cols != n_tt
+    n_keys = n_cols - 1 if overflow else n_tt
 
     kernel = functools.partial(
         _mt_resident_kernel, n_tt=n_tt, idx_bits=idx_bits,
         any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw,
-        visit_w=visit_w)
+        visit_w=visit_w, n_keys=n_keys, overflow=overflow)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed [order | sorted entry]
@@ -1032,38 +1165,44 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "use_mxu", "use_bw",
-                                    "visit_w"))
+                                    "visit_w", "key_cap"))
 def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
                       any_hit: bool = False, use_mxu: bool = False,
-                      use_bw: bool = False, visit_w: int = VISIT_W):
+                      use_bw: bool = False, visit_w: int = VISIT_W,
+                      key_cap: int | None = None):
     """Resident-soup sweep; returns (t, idx) each (N,), idx == -1 miss.
 
     tris_op is the (9, T) soup, SceneData.tri_bw (12, T) when use_bw,
     or SceneData.tri_mxu (10, 4*T) when use_mxu (caller gates on the
     VMEM budgets).  (u, v) are NOT computed — the interaction fill
     recomputes them from the winning triangle.  Rays are processed in
-    chunks sized so the prefetched order|entry table fits the SMEM
-    budget.  (scene_bounds is accepted for signature compatibility;
-    the exact per-tile candidate lists made the geometric reach cap
-    redundant.)
+    chunks sized so the prefetched candidate-key table fits the SMEM
+    budget; rows are K-capped with an exact in-kernel fallback (see
+    ray_tile_entry_keys), which is what keeps big lane pools at 1-2
+    calls/sweep.  key_cap overrides RESIDENT_KEY_CAP (tests).
+    (scene_bounds is accepted for signature compatibility; the exact
+    per-tile candidate lists made the geometric reach cap redundant.)
     """
     del scene_bounds
+    cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
     rows, cols = tris_op.shape
     T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_tt = T // FINE_T
-    pad_cols = -(-n_tt // 128) * 128
+    kc = cap + 1 if cap + 1 < n_tt else n_tt
+    pad_cols = -(-kc // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
         return _resident_call(tris_op, tile_bounds, rays_packed, any_hit,
-                              use_mxu, visit_w, use_bw=use_bw)
+                              use_mxu, visit_w, use_bw=use_bw,
+                              key_cap=cap)
     outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _resident_call(
             tris_op, tile_bounds, rays_packed[:, lo:hi], any_hit,
-            use_mxu, visit_w, use_bw=use_bw)
+            use_mxu, visit_w, use_bw=use_bw, key_cap=cap)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)
@@ -1081,8 +1220,7 @@ def mt_sweep_resident_keyed(tris_packed, keys, idx_bits, rays_packed,
     pass per sweep.  Returns (t, idx) each (N,), idx == -1 miss."""
     _, T = tris_packed.shape
     _, N = rays_packed.shape
-    n_tt = T // FINE_T
-    pad_cols = -(-n_tt // 128) * 128
+    pad_cols = -(-keys.shape[1] // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:

@@ -247,8 +247,9 @@ def _sweep_any(scene, rays, any_hit: bool):
         tris_op = scene.tri_mxu
     elif use_bw:
         tris_op = scene.tri_bw
-    vw = {} if config.SWEEP_VISIT_W is None \
-        else {"visit_w": config.SWEEP_VISIT_W}
+    vw_cfg = (config.SWEEP_VISIT_W_ANYHIT if any_hit
+              else config.SWEEP_VISIT_W)
+    vw = {} if vw_cfg is None else {"visit_w": vw_cfg}
     return mt_sweep_resident(
         tris_op, scene.tri_tile_bounds, scene.scene_bounds,
         rays, any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw, **vw,

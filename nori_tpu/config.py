@@ -40,14 +40,21 @@ USE_BW_SWEEP: bool = True
 #: dense-sweep cutoff: above this triangle count use the BVH
 PALLAS_MAX_TRIS = 1 << 17
 
-#: resident-sweep visit width override (None = the kernel default,
-#: pallas_mt.VISIT_W).  W candidate tiles are tested per while_loop
-#: iteration: wider visits amortize the scalar loop step on scenes
-#: with long candidate walks (living-room), but over-test up to W-1
-#: tiles per ray tile at the skyline exit — a real cost on scenes
-#: whose walks are only a few tiles long (cbox).  Benchmarks may tune
-#: this per scene.
+#: resident-sweep visit width override for the CLOSEST-hit sweep
+#: (None = the kernel default, pallas_mt.VISIT_W).  W candidate tiles
+#: are tested per while_loop iteration: wider visits amortize the
+#: scalar loop step, but over-test up to W-1 tiles per ray tile at
+#: the skyline exit.  Measured on the living-room 512k steady state
+#: (2026-08-20): closest sweep W=1 15.7 ms vs W=2 19.1 — the closest
+#: skyline converges fast, so the exit over-test dominates; any-hit
+#: W=2 15.4 vs W=1 16.0 — shadow walks run longer and the amortized
+#: scalar step wins.  Benchmarks may tune per scene.
 SWEEP_VISIT_W: int | None = None
+
+#: same override for the ANY-HIT (shadow) sweep; None falls back to
+#: the kernel default (NOT to SWEEP_VISIT_W — the two sweeps' optima
+#: differ in opposite directions, see above)
+SWEEP_VISIT_W_ANYHIT: int | None = None
 
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only

@@ -257,3 +257,70 @@ def test_entry_keys_cover_all_candidates(sd, rays):
         # ascending order and conservative bounds
         assert np.all(np.diff(lb[k_fin]) >= 0)
         assert np.all(lb[k_fin] <= want[got_idx[k_fin]] + 1e-6)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 4])
+def test_resident_sweep_key_cap_overflow(sd, rays, cap):
+    # K-capped candidate rows (ray_tile_entry_keys cap column): tiny
+    # caps force most rows through the kernel's exact all-tiles
+    # fallback loop; results must be bit-identical to the uncapped
+    # walk for both query types
+    o, d, mint, maxt = rays
+    rp, n = pack_rays(o, d, mint, maxt)
+    t0, i0 = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rp)
+    t1, i1 = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rp,
+        key_cap=cap)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    v = np.asarray(i0) >= 0
+    assert np.array_equal(np.asarray(t0)[v], np.asarray(t1)[v])
+    _, a0 = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rp,
+        any_hit=True)
+    _, a1 = mt_sweep_resident(
+        sd.tri_packed, sd.tri_tile_bounds, sd.scene_bounds, rp,
+        any_hit=True, key_cap=cap)
+    assert np.array_equal(np.asarray(a0) >= 0, np.asarray(a1) >= 0)
+
+
+def test_capped_entry_keys_flag_exactness(sd, rays):
+    # the overflow flag must be set IFF the row holds more candidates
+    # than the cap (the kernels' fallback correctness hinges on it)
+    o, d, mint, maxt = rays
+    rp, _ = pack_rays(o, d, mint, maxt)
+    full, idx_bits = ray_tile_entry_keys(sd.tri_tile_bounds, rp)
+    mask = (1 << idx_bits) - 1
+    n_tt = sd.tri_tile_bounds.shape[0]
+    counts = np.sum(
+        np.asarray(full & ~np.int32(mask)).view(np.float32)
+        < np.inf, axis=1)
+    cap = 2
+    assert cap + 1 < n_tt, "fixture scene too small for this test"
+    capped, _ = ray_tile_entry_keys(sd.tri_tile_bounds, rp, cap=cap)
+    capped = np.asarray(capped)
+    assert capped.shape[1] == cap + 1
+    assert np.array_equal(capped[:, cap] != 0, counts > cap)
+    # stored keys are exactly the cap nearest-entry ones
+    assert np.array_equal(capped[:, :cap], np.asarray(full)[:, :cap])
+
+
+def test_streamed_sweep_key_cap_overflow(sd, rays):
+    # same contract for the HBM-streamed kernel: the fallback streams
+    # every slab in index order with its own DMA chain
+    from nori_tpu.accel.pallas_mt import STREAM_T, mt_sweep_streamed
+
+    o, d, mint, maxt = rays
+    rp, n = pack_rays(o, d, mint, maxt)
+    tb = np.asarray(sd.tri_tile_bounds)
+    grp = STREAM_T // FINE_T
+    n_tt = tb.shape[0] // grp
+    tb_s = np.zeros((n_tt, 8), np.float32)
+    tb_s[:, 0:3] = tb[:n_tt * grp, 0:3].reshape(n_tt, grp, 3).min(1)
+    tb_s[:, 3:6] = tb[:n_tt * grp, 3:6].reshape(n_tt, grp, 3).max(1)
+    tris = sd.tri_packed[:, :n_tt * grp * FINE_T]
+    t0, i0 = mt_sweep_streamed(tris, jnp.asarray(tb_s), rp)
+    t1, i1 = mt_sweep_streamed(tris, jnp.asarray(tb_s), rp, key_cap=1)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    v = np.asarray(i0) >= 0
+    assert np.array_equal(np.asarray(t0)[v], np.asarray(t1)[v])
