@@ -27,21 +27,50 @@ import os
 
 BASELINE_MRAYS = 100.0       # v5e-8 aggregate target
 PER_CHIP_TARGET = BASELINE_MRAYS / 8.0
+
+# Per-scene sweep/sort tuning (measured 2026-08-20 on each scene's own
+# steady state; every knob's A/B numbers live in config.py comments
+# and scripts/tpu_jobs/README.md):
+#   living-room 512k: closest visit_w=1 / any-hit 2; key cap OFF (the
+#   8-call uncapped sweep pipelines; the capped fallback costs more).
+LR_TUNE = {"SWEEP_VISIT_W": 1, "SWEEP_VISIT_W_ANYHIT": 2,
+           "SWEEP_KEY_CAP": 0}
+#   cbox (18 tiles): defaults — cap/coarsen don't engage, vw=2 wins.
+CBOX_TUNE = {}
+#   table (178 tiles): the 127-key cap measured +4% e2e.
+TABLE_TUNE = {"SWEEP_KEY_CAP": 127}
+#   ajax (541k tris, streamed): cap OFF (overflow rows re-DMA every
+#   slab, a net loss at 1058 tiles).
+AJAX_TUNE = {"SWEEP_KEY_CAP": 0}
 REF_CBOX = "/root/reference/scenes/pa5/cbox/cbox_mis.xml"
 REF_TABLE = "/root/reference/scenes/pa5/table/table_mis.xml"
 REF_AJAX_N = "/root/reference/scenes/pa2/ajax-normals.xml"
 REF_AJAX_R = "/root/reference/scenes/pa5/ajax/ajax-rough.xml"
 
 
-def _bench_scene(scene, spp, n_lanes=131072):
+def _bench_scene(scene, spp, n_lanes=131072, tune=None):
+    """Render via the persistent wavefront; `tune` is a dict of
+    per-scene config overrides (SWEEP_VISIT_W / SWEEP_VISIT_W_ANYHIT /
+    SWEEP_KEY_CAP / SORT_KEY_COARSEN), each measured on this scene's
+    own steady state — see the call sites for the numbers."""
     import numpy as np
     import jax.numpy as jnp
+    from nori_tpu import config
     from nori_tpu.wavefront import render_wavefront
 
-    sd = scene.compile()
-    float(jnp.sum(sd.tri_v0))        # materialize scene upload
-    render_wavefront(scene, spp=spp, n_lanes=n_lanes, seed=0)  # warm
-    img, stats = render_wavefront(scene, spp=spp, n_lanes=n_lanes, seed=1)
+    saved = {}
+    for k, v in (tune or {}).items():
+        saved[k] = getattr(config, k)
+        setattr(config, k, v)
+    try:
+        sd = scene.compile()
+        float(jnp.sum(sd.tri_v0))        # materialize scene upload
+        render_wavefront(scene, spp=spp, n_lanes=n_lanes, seed=0)  # warm
+        img, stats = render_wavefront(
+            scene, spp=spp, n_lanes=n_lanes, seed=1)
+    finally:
+        for k, v in saved.items():
+            setattr(config, k, v)
     n_tris = int(np.sum(np.asarray(sd.tri_v0)[:, 0] < 1e29))
     return {
         "mrays_per_sec": round(stats["mrays_per_sec"], 3),
@@ -57,6 +86,7 @@ def _bench_scene(scene, spp, n_lanes=131072):
         "mean_radiance": round(float(np.mean(img)), 4),
         "occupancy": round(stats.get("occupancy", 0.0), 3),
         "steps": stats.get("steps", 0),
+        "tune": {k: v for k, v in (tune or {}).items()},
     }
 
 
@@ -112,13 +142,16 @@ def main():
     # spp=32 saturates lane-pool occupancy (0.700 @ spp=8 -> 0.736):
     # the 1024-spp target workload runs at >= this rate, and spp only
     # bounds bench runtime (~20 s at current throughput).  n_lanes =
-    # 512k: measured lane-pool scaling on this workload (2026-08-19,
-    # one v5e chip, warm): 131k -> 5.4, 262k -> 9.46, 512k -> 10.80
-    # Mrays/s — per-step fixed costs (two sweep-launch floors, sort
-    # overheads, pipelined host sync) amortize across a wider pool
-    # faster than drain-tail occupancy decays (0.81 -> 0.69).
+    # 512k: measured lane-pool scaling on this workload (2026-08-19/20,
+    # one v5e chip, warm): 131k -> 5.4, 262k -> 9.46, 512k -> 11.36,
+    # 768k -> 11.06 Mrays/s — per-step fixed costs (sort overheads,
+    # pipelined host sync) amortize across a wider pool faster than
+    # drain-tail occupancy decays, until ~512k.  Per-scene tuning
+    # (LR_TUNE etc.): measured per scene on its own steady state,
+    # 2026-08-20 — see config.py for the per-knob numbers.
     lr = living_room(width=1280, height=720, spp=32, detail=5)
-    breakdown["living_room"] = _bench_scene(lr, spp=32, n_lanes=524288)
+    breakdown["living_room"] = _bench_scene(
+        lr, spp=32, n_lanes=524288, tune=LR_TUNE)
 
     if os.path.exists(REF_CBOX):
         from nori_tpu import load_from_xml
@@ -126,48 +159,49 @@ def main():
         cbox = load_from_xml(REF_CBOX)
     else:
         cbox = cornell_box(width=800, height=600, spp=16)
-    breakdown["cbox_mis"] = _bench_scene(cbox, spp=16)
+    breakdown["cbox_mis"] = _bench_scene(cbox, spp=16, tune=CBOX_TUNE)
 
+    table = None
     if os.path.exists(REF_TABLE):
         from nori_tpu import load_from_xml
 
         table = load_from_xml(REF_TABLE)
-        breakdown["table_mis"] = _bench_scene(table, spp=8)
+        breakdown["table_mis"] = _bench_scene(
+            table, spp=8, tune=TABLE_TUNE)
 
-    # ajax-scale scenes (541k tris -> HBM-streamed sweep).  The ajax
-    # scan itself is absent from the reference checkout; the parser
-    # substitutes the procedural same-scale stand-in
-    # (scenes_builtin.ajax_standin_meshdata).
-    for name, path, spp in (("ajax_normals", REF_AJAX_N, 4),
-                            ("ajax_rough", REF_AJAX_R, 4)):
+    # ajax-scale scenes (541k tris -> HBM-streamed sweep), through the
+    # SAME persistent-wavefront production path as every other row so
+    # the Mrays/s figures are comparable (traced rays, not camera
+    # rays; r3 benched these through the q-batch driver and the rows
+    # weren't).  The ajax scan itself is absent from the reference
+    # checkout; the parser substitutes the procedural same-scale
+    # stand-in (scenes_builtin.ajax_standin_meshdata).
+    for name, path, spp in (("ajax_normals", REF_AJAX_N, 8),
+                            ("ajax_rough", REF_AJAX_R, 8)):
         if not os.path.exists(path):
             continue
         try:
-            import time
-            import numpy as np
             from nori_tpu import load_from_xml
-            from nori_tpu.render import render
 
             sc = load_from_xml(path)
-            n_tris = sc.compile().tri_v0.shape[0]
-            # warm at the MEASURED spp: render() compiles per q-batch
-            # shape, so a different-spp warm pass leaves the measured
-            # call paying the full compile (r3 preview: 4.7 -> 0.1
-            # "Mrays/s" purely from that artifact)
-            render(sc, spp=spp)        # warm
-            t0 = time.time()
-            img, stats = render(sc, spp=spp)
-            dt = time.time() - t0
-            rays = stats.get("rays", 0) or (
-                sc.camera.output_size[0] * sc.camera.output_size[1] * spp)
-            breakdown[name] = {
-                "mrays_per_sec": round(rays / dt / 1e6, 3),
-                "seconds": round(dt, 2), "rays": int(rays), "spp": spp,
-                "triangles": int(n_tris),
-                "mean_radiance": round(float(np.mean(img)), 4),
-            }
+            breakdown[name] = _bench_scene(
+                sc, spp=spp, n_lanes=131072, tune=AJAX_TUNE)
         except Exception as e:  # pragma: no cover - keep bench robust
             breakdown[name] = {"error": str(e)}
+
+    # veach MIS stress (scenes/pa5/veach_mi): the canonical multiple-
+    # importance-sampling scene; tests/test_veach_mis.py pins the
+    # mats/ems/mis agreement, this row tracks its throughput
+    veach = "/root/reference/scenes/pa5/veach_mi/veach_mis.xml"
+    if os.path.exists(veach):
+        try:
+            from nori_tpu import load_from_xml
+
+            sc = load_from_xml(veach)
+            breakdown["veach_mis"] = _bench_scene(
+                sc, spp=32, n_lanes=131072)
+        except Exception as e:  # pragma: no cover - keep bench robust
+            breakdown["veach_mis"] = {"error": str(e)}
 
     # kernel-level accounting per scene (profiling.kernel_report):
     # exact candidate pairs, pair-test rate and implied VPU FLOP/s for
@@ -176,7 +210,10 @@ def main():
     kernel = {}
     from nori_tpu.profiling import kernel_report
 
-    for name, sc in (("living_room", lr), ("cbox_mis", cbox)):
+    scenes_for_kernel = [("living_room", lr), ("cbox_mis", cbox)]
+    if table is not None:
+        scenes_for_kernel.append(("table_mis", table))
+    for name, sc in scenes_for_kernel:
         try:
             kernel[name] = kernel_report(sc)
         except Exception as e:  # pragma: no cover - diagnostics only

@@ -683,6 +683,8 @@ def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
     cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
+    if cap == 0:
+        cap = 1 << 24        # uncapped
     kc = cap + 1 if cap + 1 < n_tt else n_tt
     pad_cols = -(-kc // 128) * 128
     max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
@@ -1185,6 +1187,8 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
     """
     del scene_bounds
     cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
+    if cap == 0:
+        cap = 1 << 24        # uncapped (cap + 1 < n_tt never holds)
     rows, cols = tris_op.shape
     T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape

@@ -233,10 +233,12 @@ def _sweep_any(scene, rays, any_hit: bool):
     )
 
     T = scene.tri_packed.shape[1]
+    kc = {} if config.SWEEP_KEY_CAP is None \
+        else {"key_cap": config.SWEEP_KEY_CAP}
     if 9 * T * 4 > RESIDENT_VMEM_BUDGET:
         return mt_sweep_streamed(
             scene.tri_packed, scene.tri_tile_bounds, rays,
-            any_hit=any_hit)
+            any_hit=any_hit, **kc)
     use_mxu = (config.USE_MXU_SWEEP
                and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
     use_bw = (config.USE_BW_SWEEP and not use_mxu
@@ -252,7 +254,8 @@ def _sweep_any(scene, rays, any_hit: bool):
     vw = {} if vw_cfg is None else {"visit_w": vw_cfg}
     return mt_sweep_resident(
         tris_op, scene.tri_tile_bounds, scene.scene_bounds,
-        rays, any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw, **vw,
+        rays, any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw,
+        **vw, **kc,
     )
 
 

@@ -56,6 +56,26 @@ SWEEP_VISIT_W: int | None = None
 #: differ in opposite directions, see above)
 SWEEP_VISIT_W_ANYHIT: int | None = None
 
+#: candidate-key row cap override (None = pallas_mt.RESIDENT_KEY_CAP,
+#: 0 = uncapped).  Capping shrinks the prefetched SMEM table so huge
+#: lane pools need fewer pallas calls per sweep, at the price of an
+#: exact all-tiles fallback for rows with more candidates.  Measured
+#: 2026-08-20 (living-room 512k steady state): the 8-call uncapped
+#: sweep PIPELINES well enough that capping to 2 calls is a ~20%
+#: LOSS (closest 15.7 -> 19.3 ms) — the fallback's unskylined walks
+#: on the 0.8% overflow rows dominate.  On mid-tile-count scenes
+#: (table, 178 tiles) the cap measured a ~4% e2e win.  Benchmarks
+#: tune per scene.
+SWEEP_KEY_CAP: int | None = None
+
+#: coherence-sort key tile-set coarsening factor: lane sort keys are
+#: computed against tri_tile_bounds grouped by this factor.  The
+#: per-lane key kernel's slab pass scales with the tile count (9.45
+#: ms of a 62.9 ms step at 512k lanes x 404 tiles), while grouping
+#: quality degrades only gradually — a 4x coarser key set is a ~4x
+#: cheaper key kernel.  1 = exact (default); benchmarks tune.
+SORT_KEY_COARSEN: int = 1
+
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only
 #: kernel branches get CI coverage

@@ -101,8 +101,9 @@ def kernel_report(scene, n_rays: int = 131072, seed: int = 0,
     mode = getattr(scene.integrator, "mode", MIS)
     cache = getattr(scene, "_wf_cache", None)
     if cache is not None and cache[0][1] == n_rays:
-        # reuse the render's compiled stepper (same lane width)
-        init, step = cache[1][0], cache[1][1]
+        # reuse the render's compiled stepper (same lane width);
+        # steppers = (init, stages, finalize), widest stage first
+        init, step = cache[1][0], cache[1][1][0][0]
         chunk = cache[0][2]
     else:
         chunk = 64 * n_rays

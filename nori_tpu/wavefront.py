@@ -64,6 +64,10 @@ CHECK_EVERY = 16
 #: bouncing to max depth with no work left to regenerate) doesn't pay
 #: full-width sweeps
 SHRINK_FACTOR = 8
+#: how many successive shrink stages to compile (512k -> 64k -> 8k at
+#: the default factor); each stage is one extra stepper compile,
+#: amortized by the render-cache
+MAX_SHRINK_STAGES = 2
 
 
 #: sort keys: survivors' key words stay < 2^30 (first-tile index |
@@ -118,6 +122,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     pixel (q // spp).  records rows are [q-bits, L.rgb]; rows past the
     cursor are garbage that later windows overwrite.
     """
+    from nori_tpu import config
     from nori_tpu.accel.pallas_mt import pack_rays
 
     cam = scene.camera
@@ -127,6 +132,7 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     use_nee = mode in (EMS, MIS)
     N = n_lanes
     sdc = scene.compile()
+    key_coarsen = max(1, int(config.SORT_KEY_COARSEN))
     if sort_rays is None:
         # coherence sorting only pays off when the sweep has enough
         # triangle tiles for culling to prune
@@ -364,10 +370,29 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             # whose candidate walks agree both up close and globally;
             # the exact multi-word sort would need a 27-operand
             # lax.sort whose XLA compile time explodes (~20 min).
+            # config.SORT_KEY_COARSEN > 1 computes the keys against a
+            # grouped tile set: the key kernel's slab pass scales with
+            # the tile count, grouping quality only degrades gradually.
             from nori_tpu.accel.pallas_mt import lane_sort_keys
 
             rays_pn, _ = pack_rays(o, d, mint, maxt)
-            sk1, sk2 = lane_sort_keys(sd.tri_tile_bounds, rays_pn)
+            kb = sd.tri_tile_bounds
+            if key_coarsen > 1 and n_tt_s >= 2 * key_coarsen:
+                c = key_coarsen
+                ng = n_tt_s // c
+                head = kb[:ng * c].reshape(ng, c, 8)
+                gb = jnp.concatenate([
+                    jnp.min(head[:, :, 0:3], axis=1),
+                    jnp.max(head[:, :, 3:6], axis=1),
+                    jnp.zeros((ng, 2), kb.dtype)], axis=1)
+                if n_tt_s % c:
+                    tail = kb[ng * c:]
+                    gb = jnp.concatenate([gb, jnp.concatenate([
+                        jnp.min(tail[:, 0:3], axis=0, keepdims=True),
+                        jnp.max(tail[:, 3:6], axis=0, keepdims=True),
+                        jnp.zeros((1, 2), kb.dtype)], axis=1)], axis=0)
+                kb = gb
+            sk1, sk2 = lane_sort_keys(kb, rays_pn)
             sk1, sk2 = sk1[:N], sk2[:N]
             key = jnp.where(
                 done, KEY_DONE, jnp.where(active, sk1, KEY_IDLE))
@@ -439,10 +464,12 @@ def run_chunk(steppers, sd, seed, q0, q_end,
               check_every: int = CHECK_EVERY, max_iters: int = 100000):
     """Drive one chunk to completion; returns (L_out, rays).
 
-    steppers = (init, step, n_active, finalize, shrink, small_step,
-    small_n_active) — the pool is packed into the SHRINK_FACTOR-x
-    smaller stepper once occupancy drops, so the drain tail costs
-    narrow sweeps.
+    steppers = (init, stages, finalize) where stages is a list of
+    (step, n_active, shrink_to_next) from widest to narrowest — the
+    pool is packed into each successively SHRINK_FACTOR-x smaller
+    stepper as occupancy drops, so the drain tail (stragglers bouncing
+    to max depth with no work left to regenerate) pays narrow sweeps
+    at every decay scale, not just the first.
 
     Occupancy checks are PIPELINED: the host acts on the check from one
     window ago, so the ~100 ms device->host scalar fetch through the
@@ -452,33 +479,37 @@ def run_chunk(steppers, sd, seed, q0, q_end,
     on a stale low count is conservative (occupancy only decays during
     the drain).
     """
-    init, step, n_act, finalize, shrink, small_step, small_n_act = steppers
+    init, stages, finalize = steppers
     carry = init(seed, q0, q_end)
     it = 0
     wide_it = 0
-    small = False
+    lane_steps = 0
+    stage = 0
     pending = None
     while it < max_iters:
-        cur_step = small_step if small else step
+        step, n_act, _ = stages[stage]
         for _ in range(check_every):
-            carry = cur_step(sd, carry, seed)
+            carry = step(sd, carry, seed)
             it += 1
-            if not small:
+            if stage == 0:
                 wide_it += 1
-        handle = (small_n_act if small else n_act)(carry)  # async
+        lane_steps += check_every * carry[0]["active"].shape[0]
+        handle = stages[stage][1](carry)  # async occupancy fetch
         if pending is not None:
             n = int(pending)
             if n == 0:
                 break
-            if not small and shrink is not None \
-                    and n <= carry[0]["active"].shape[0] // SHRINK_FACTOR:
-                carry = shrink(carry)
-                small = True
+            # cascade through every stage the stale count already
+            # qualifies for (counts only decay during the drain)
+            while stages[stage][2] is not None and n <= (
+                    carry[0]["active"].shape[0] // SHRINK_FACTOR):
+                carry = stages[stage][2](carry)
+                stage += 1
         pending = handle
     else:
         raise RuntimeError("run_chunk did not drain")
     L_out = finalize(carry[2], q0)
-    return L_out, carry[4], (it, wide_it)
+    return L_out, carry[4], (it, wide_it, lane_steps)
 
 
 def make_dense_splat(scene, chunk: int):
@@ -630,21 +661,36 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     chunk = max(spp, (chunk // spp) * spp)
 
     # cache compiled steppers on the scene (jit caches are per-function
-    # object, so rebuilding them every render recompiles everything)
-    cache_key = (mode, n_lanes, chunk, spp, max_depth, w, h, sort_rays)
+    # object, so rebuilding them every render recompiles everything).
+    # Sweep/sort config is captured at trace time, so it keys the
+    # cache too (benchmarks toggle it between renders).
+    from nori_tpu import config as _cfg
+
+    cache_key = (mode, n_lanes, chunk, spp, max_depth, w, h, sort_rays,
+                 _cfg.SWEEP_VISIT_W, _cfg.SWEEP_VISIT_W_ANYHIT,
+                 _cfg.SWEEP_KEY_CAP, _cfg.SORT_KEY_COARSEN,
+                 _cfg.USE_BW_SWEEP, _cfg.USE_MXU_SWEEP)
     cache = getattr(scene, "_wf_cache", None)
     if cache is None or cache[0] != cache_key:
         init, step, n_act, finalize = make_wavefront_stepper(
             scene, mode, n_lanes, chunk, max_depth, sort_rays)
-        n_small = max(1024, n_lanes // SHRINK_FACTOR)
-        if n_small < n_lanes:
-            shrink = make_shrink(n_lanes, n_small)
-            _, small_step, small_n_act, _ = make_wavefront_stepper(
-                scene, mode, n_small, chunk, max_depth, sort_rays)
-        else:
-            shrink, small_step, small_n_act = None, step, n_act
-        steppers = (init, step, n_act, finalize, shrink, small_step,
-                    small_n_act)
+        # drain-shrink cascade: successively SHRINK_FACTOR-x narrower
+        # steppers (floored at 1024 lanes, at most MAX_SHRINK_STAGES
+        # extra compiles) so the occupancy-decay tail pays sweeps at
+        # its own scale all the way down
+        stages = []
+        n_cur, step_cur, n_act_cur = n_lanes, step, n_act
+        for _ in range(MAX_SHRINK_STAGES):
+            n_next = max(1024, n_cur // SHRINK_FACTOR)
+            if n_next >= n_cur:
+                break
+            shrink = make_shrink(n_cur, n_next)
+            stages.append((step_cur, n_act_cur, shrink))
+            _, step_cur, n_act_cur, _ = make_wavefront_stepper(
+                scene, mode, n_next, chunk, max_depth, sort_rays)
+            n_cur = n_next
+        stages.append((step_cur, n_act_cur, None))
+        steppers = (init, stages, finalize)
         dense = make_dense_splat(scene, chunk)
         scene._wf_cache = (cache_key, steppers, dense)
     _, steppers, dense = scene._wf_cache
@@ -680,11 +726,13 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     chunks_done = 0
     done = q_start >= total_q
     steps_total = wide_total = 0
+    lane_steps_total = 0
     for q0 in range(q_start, total_q, chunk):
-        L_out, rays, (its, wide) = run_chunk(
+        L_out, rays, (its, wide, lsteps) = run_chunk(
             steppers, sd, seed_arr, jnp.uint32(q0), q_end)
         steps_total += its
         wide_total += wide
+        lane_steps_total += lsteps
         film = splat_chunk(film, L_out, seed_arr, jnp.uint32(q0), q_end)
         ray_handles.append(rays)
         if checkpoint_path:
@@ -722,9 +770,7 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     dt = time.time() - t0
     total_rays = rays_resumed + int(
         np.sum([int(r) for r in ray_handles]))
-    n_small = max(1024, n_lanes // SHRINK_FACTOR)
-    lane_steps = (wide_total * n_lanes
-                  + (steps_total - wide_total) * n_small)
+    lane_steps = lane_steps_total
     return img, {
         "spp": spp, "seconds": dt, "pixels": w * h, "rays": total_rays,
         "mrays_per_sec": total_rays / max(dt, 1e-9) / 1e6,
