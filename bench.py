@@ -28,20 +28,16 @@ import os
 BASELINE_MRAYS = 100.0       # v5e-8 aggregate target
 PER_CHIP_TARGET = BASELINE_MRAYS / 8.0
 
-# Per-scene sweep/sort tuning (measured 2026-08-20 on each scene's own
-# steady state; every knob's A/B numbers live in config.py comments
-# and scripts/tpu_jobs/README.md):
-#   living-room 512k: closest visit_w=1 / any-hit 2; key cap OFF (the
-#   8-call uncapped sweep pipelines; the capped fallback costs more).
-LR_TUNE = {"SWEEP_VISIT_W": 1, "SWEEP_VISIT_W_ANYHIT": 2,
-           "SWEEP_KEY_CAP": 0}
-#   cbox (18 tiles): defaults — cap/coarsen don't engage, vw=2 wins.
-CBOX_TUNE = {}
-#   table (178 tiles): the 127-key cap measured +4% e2e.
-TABLE_TUNE = {"SWEEP_KEY_CAP": 127}
-#   ajax (541k tris, streamed): cap OFF (overflow rows re-DMA every
-#   slab, a net loss at 1058 tiles).
-AJAX_TUNE = {"SWEEP_KEY_CAP": 0}
+# Per-scene sweep/sort tuning now lives in the dispatch itself as
+# measured per-scale heuristics (traverse.auto_visit_w /
+# auto_key_cap, wavefront.auto_key_coarsen — every A/B number is in
+# config.py and scripts/tpu_jobs/README.md), so production renders
+# get the same configs as the bench.  The tune dicts stay as explicit
+# pins if a row ever needs to diverge from the heuristic.
+LR_TUNE: dict = {}
+CBOX_TUNE: dict = {}
+TABLE_TUNE: dict = {}
+AJAX_TUNE: dict = {}
 REF_CBOX = "/root/reference/scenes/pa5/cbox/cbox_mis.xml"
 REF_TABLE = "/root/reference/scenes/pa5/table/table_mis.xml"
 REF_AJAX_N = "/root/reference/scenes/pa2/ajax-normals.xml"
@@ -153,13 +149,18 @@ def main():
     breakdown["living_room"] = _bench_scene(
         lr, spp=32, n_lanes=524288, tune=LR_TUNE)
 
+    # cbox/table/ajax run at spp=32 like the living-room row: the
+    # metric is steady-state throughput on the high-spp target
+    # workload, and low spp starves the 131k lane pool (table occ
+    # 0.515 @ spp=8 -> 0.654 @ 32, cbox 0.716 -> 0.742); spp only
+    # bounds bench runtime.
     if os.path.exists(REF_CBOX):
         from nori_tpu import load_from_xml
 
         cbox = load_from_xml(REF_CBOX)
     else:
         cbox = cornell_box(width=800, height=600, spp=16)
-    breakdown["cbox_mis"] = _bench_scene(cbox, spp=16, tune=CBOX_TUNE)
+    breakdown["cbox_mis"] = _bench_scene(cbox, spp=32, tune=CBOX_TUNE)
 
     table = None
     if os.path.exists(REF_TABLE):
@@ -167,7 +168,7 @@ def main():
 
         table = load_from_xml(REF_TABLE)
         breakdown["table_mis"] = _bench_scene(
-            table, spp=8, tune=TABLE_TUNE)
+            table, spp=32, tune=TABLE_TUNE)
 
     # ajax-scale scenes (541k tris -> HBM-streamed sweep), through the
     # SAME persistent-wavefront production path as every other row so
@@ -176,8 +177,8 @@ def main():
     # weren't).  The ajax scan itself is absent from the reference
     # checkout; the parser substitutes the procedural same-scale
     # stand-in (scenes_builtin.ajax_standin_meshdata).
-    for name, path, spp in (("ajax_normals", REF_AJAX_N, 8),
-                            ("ajax_rough", REF_AJAX_R, 8)):
+    for name, path, spp in (("ajax_normals", REF_AJAX_N, 32),
+                            ("ajax_rough", REF_AJAX_R, 32)):
         if not os.path.exists(path):
             continue
         try:

@@ -216,16 +216,49 @@ def intersect_bvh(scene, o, d, mint, maxt, any_hit: bool = False,
     return Hit(valid=best_i >= 0, t=best_t, tri=best_i, u=best_u, v=best_v)
 
 
+def auto_visit_w(n_tt: int, any_hit: bool) -> int:
+    """Measured per-scale resident-sweep visit widths (2026-08-20,
+    one v5e chip; scripts/tpu_jobs/README.md has the A/Bs):
+    small scenes (exact-bitmask-sort scale) walk a few tiles, so the
+    W-wide skyline over-test dominates -> W=1 for both query types
+    (cbox 12.66 -> 13.91 Mrays/s e2e); big scenes' closest walks also
+    converge fast (W=1: 15.7 vs 19.1 ms at 512k) while shadow walks
+    run long enough to amortize the scalar step (W=2: 15.4 vs 16.0)."""
+    if n_tt <= 28:
+        return 1
+    if n_tt > 256:
+        return 2 if any_hit else 1
+    from nori_tpu.accel.pallas_mt import VISIT_W
+
+    return VISIT_W
+
+
+def auto_key_cap(n_tt: int, streamed: bool) -> int:
+    """Measured per-scale candidate-key-row caps (same log): capping
+    loses wherever the exact all-tiles overflow fallback engages
+    (living-room 404 tiles: 15.7 -> 19.3 ms; ajax 1058 slabs: 2.56 ->
+    1.93 Mrays/s) and wins on mid-tile-count scenes where rows
+    genuinely fit (table 178 tiles: +4% e2e)."""
+    if streamed:
+        return 0
+    if 28 < n_tt <= 256:
+        return 127
+    return 0
+
+
 def _sweep_any(scene, rays, any_hit: bool):
     """(t, idx) sweep dispatch: VMEM-resident kernel for reference-
     scale soups, HBM-streamed kernel for ajax-scale ones (the scene's
     tile-bound granularity was chosen by the same budget test at
-    compile, scene.py).  The MXU form is OFF by default: measured on
-    the v5e chip, the fp32 matmul emulation (6 bf16 passes) plus
-    per-visit matmul staging inside the serialized while_loop costs
-    ~2 us/visit, losing to the VPU block (7.3 ms vs 5.2 ms on the cbox
-    bounce distribution) despite doing 3x fewer VPU ops/pair.  Kept
-    selectable for hardware with native fp32 MXU throughput."""
+    compile, scene.py).  Visit width and key-row cap default to the
+    measured per-scale heuristics (auto_visit_w / auto_key_cap);
+    config.SWEEP_VISIT_W[_ANYHIT] / SWEEP_KEY_CAP pin them.  The MXU
+    form is OFF by default: measured on the v5e chip, the fp32 matmul
+    emulation (6 bf16 passes) plus per-visit matmul staging inside
+    the serialized while_loop costs ~2 us/visit, losing to the VPU
+    block (7.3 ms vs 5.2 ms on the cbox bounce distribution) despite
+    doing 3x fewer VPU ops/pair.  Kept selectable for hardware with
+    native fp32 MXU throughput."""
     from nori_tpu import config
     from nori_tpu.accel.pallas_mt import (
         RESIDENT_VMEM_BUDGET, RESIDENT_MXU_VMEM_BUDGET,
@@ -233,12 +266,14 @@ def _sweep_any(scene, rays, any_hit: bool):
     )
 
     T = scene.tri_packed.shape[1]
-    kc = {} if config.SWEEP_KEY_CAP is None \
-        else {"key_cap": config.SWEEP_KEY_CAP}
-    if 9 * T * 4 > RESIDENT_VMEM_BUDGET:
+    n_tt = scene.tri_tile_bounds.shape[0]
+    streamed = 9 * T * 4 > RESIDENT_VMEM_BUDGET
+    key_cap = (auto_key_cap(n_tt, streamed)
+               if config.SWEEP_KEY_CAP is None else config.SWEEP_KEY_CAP)
+    if streamed:
         return mt_sweep_streamed(
             scene.tri_packed, scene.tri_tile_bounds, rays,
-            any_hit=any_hit, **kc)
+            any_hit=any_hit, key_cap=key_cap)
     use_mxu = (config.USE_MXU_SWEEP
                and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
     use_bw = (config.USE_BW_SWEEP and not use_mxu
@@ -251,11 +286,11 @@ def _sweep_any(scene, rays, any_hit: bool):
         tris_op = scene.tri_bw
     vw_cfg = (config.SWEEP_VISIT_W_ANYHIT if any_hit
               else config.SWEEP_VISIT_W)
-    vw = {} if vw_cfg is None else {"visit_w": vw_cfg}
+    visit_w = auto_visit_w(n_tt, any_hit) if vw_cfg is None else vw_cfg
     return mt_sweep_resident(
         tris_op, scene.tri_tile_bounds, scene.scene_bounds,
         rays, any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw,
-        **vw, **kc,
+        visit_w=visit_w, key_cap=key_cap,
     )
 
 

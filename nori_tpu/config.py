@@ -41,40 +41,43 @@ USE_BW_SWEEP: bool = True
 PALLAS_MAX_TRIS = 1 << 17
 
 #: resident-sweep visit width override for the CLOSEST-hit sweep
-#: (None = the kernel default, pallas_mt.VISIT_W).  W candidate tiles
-#: are tested per while_loop iteration: wider visits amortize the
-#: scalar loop step, but over-test up to W-1 tiles per ray tile at
-#: the skyline exit.  Measured on the living-room 512k steady state
-#: (2026-08-20): closest sweep W=1 15.7 ms vs W=2 19.1 — the closest
-#: skyline converges fast, so the exit over-test dominates; any-hit
-#: W=2 15.4 vs W=1 16.0 — shadow walks run longer and the amortized
-#: scalar step wins.  Benchmarks may tune per scene.
+#: (None = the measured per-scale heuristic, traverse.auto_visit_w).
+#: W candidate tiles are tested per while_loop iteration: wider
+#: visits amortize the scalar loop step, but over-test up to W-1
+#: tiles per ray tile at the skyline exit.  Measured on the
+#: living-room 512k steady state (2026-08-20): closest sweep W=1
+#: 15.7 ms vs W=2 19.1 — the closest skyline converges fast, so the
+#: exit over-test dominates; any-hit W=2 15.4 vs W=1 16.0 — shadow
+#: walks run longer and the amortized scalar step wins.  On cbox-
+#: scale scenes W=1 wins for BOTH (12.66 -> 13.91 Mrays/s e2e).
 SWEEP_VISIT_W: int | None = None
 
-#: same override for the ANY-HIT (shadow) sweep; None falls back to
-#: the kernel default (NOT to SWEEP_VISIT_W — the two sweeps' optima
-#: differ in opposite directions, see above)
+#: same override for the ANY-HIT (shadow) sweep; None = the
+#: heuristic (NOT SWEEP_VISIT_W — the two sweeps' optima differ)
 SWEEP_VISIT_W_ANYHIT: int | None = None
 
-#: candidate-key row cap override (None = pallas_mt.RESIDENT_KEY_CAP,
-#: 0 = uncapped).  Capping shrinks the prefetched SMEM table so huge
-#: lane pools need fewer pallas calls per sweep, at the price of an
-#: exact all-tiles fallback for rows with more candidates.  Measured
-#: 2026-08-20 (living-room 512k steady state): the 8-call uncapped
-#: sweep PIPELINES well enough that capping to 2 calls is a ~20%
-#: LOSS (closest 15.7 -> 19.3 ms) — the fallback's unskylined walks
-#: on the 0.8% overflow rows dominate.  On mid-tile-count scenes
-#: (table, 178 tiles) the cap measured a ~4% e2e win.  Benchmarks
-#: tune per scene.
+#: candidate-key row cap override (None = the measured per-scale
+#: heuristic, traverse.auto_key_cap; 0 = uncapped).  Capping shrinks
+#: the prefetched SMEM table so huge lane pools need fewer pallas
+#: calls per sweep, at the price of an exact all-tiles fallback for
+#: rows with more candidates.  Measured 2026-08-20 (living-room 512k
+#: steady state): the 8-call uncapped sweep PIPELINES well enough
+#: that capping to 2 calls is a ~20% LOSS (closest 15.7 -> 19.3 ms)
+#: — the fallback's unskylined walks on the 0.8% overflow rows
+#: dominate; same story 4x worse on ajax's 1058 DMA slabs (2.56 ->
+#: 1.93 Mrays/s).  On mid-tile-count scenes (table, 178 tiles) the
+#: cap measured a ~4% e2e win.
 SWEEP_KEY_CAP: int | None = None
 
 #: coherence-sort key tile-set coarsening factor: lane sort keys are
-#: computed against tri_tile_bounds grouped by this factor.  The
-#: per-lane key kernel's slab pass scales with the tile count (9.45
-#: ms of a 62.9 ms step at 512k lanes x 404 tiles), while grouping
-#: quality degrades only gradually — a 4x coarser key set is a ~4x
-#: cheaper key kernel.  1 = exact (default); benchmarks tune.
-SORT_KEY_COARSEN: int = 1
+#: computed against tri_tile_bounds grouped by this factor.  Measured
+#: (2026-08-20, living-room 512k): coarsen=4 trims the key kernel
+#: 9.43 -> 8.29 ms with slightly BETTER grouping (union 793 -> 743
+#: pairs/ray; e2e 11.97 -> 12.34 Mrays/s); coarsen=8 on ajax's 1058
+#: slab bounds: 2.56 -> 2.81 Mrays/s.  None (default) = the measured
+#: per-scale heuristic (wavefront.auto_key_coarsen: 4 on big resident
+#: scenes, 8 on streamed-scale, exact otherwise); an int pins it.
+SORT_KEY_COARSEN: int | None = None
 
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only

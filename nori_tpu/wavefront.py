@@ -56,9 +56,13 @@ from nori_tpu.integrators.path import MATS, EMS, MIS, RR_START, RR_MAX
 from nori_tpu.render import JITTER_STREAM
 
 MAX_DEPTH = 48
-#: host checks pool occupancy every this many steps (each check is a
-#: device->host sync, ~100 ms through the axon tunnel)
-CHECK_EVERY = 16
+#: host checks pool occupancy every this many steps.  The fetch is
+#: async and pipelined one window behind, so its cost is ~nothing;
+#: what the window size buys is drain-DETECTION latency — the pool
+#: runs up to 2 windows past the shrink/stop thresholds at full
+#: width.  Measured (2026-08-20, living-room 512k, shrink cascade):
+#: 16 -> 8 is 12.47 -> 12.87 Mrays/s (occupancy 0.704 -> 0.754).
+CHECK_EVERY = 8
 #: when occupancy falls below n_lanes/SHRINK_FACTOR the pool is packed
 #: into a SHRINK_FACTOR-x smaller stepper so the drain tail (stragglers
 #: bouncing to max depth with no work left to regenerate) doesn't pay
@@ -112,6 +116,20 @@ def _unpack_state(m, q0):
     )
 
 
+def auto_key_coarsen(sd) -> int:
+    """Measured per-scale sort-key tile-set coarsening (2026-08-20;
+    config.SORT_KEY_COARSEN documents the A/Bs): 4x on big resident
+    scenes, 8x on streamed-scale slab bounds, exact otherwise."""
+    from nori_tpu.accel.pallas_mt import RESIDENT_VMEM_BUDGET
+
+    n_tt = int(sd.tri_tile_bounds.shape[0])
+    if 9 * sd.tri_packed.shape[1] * 4 > RESIDENT_VMEM_BUDGET:
+        return 8
+    if n_tt > 256:
+        return 4
+    return 1
+
+
 def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                            max_depth: int = MAX_DEPTH,
                            sort_rays: bool | None = None):
@@ -132,7 +150,10 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     use_nee = mode in (EMS, MIS)
     N = n_lanes
     sdc = scene.compile()
-    key_coarsen = max(1, int(config.SORT_KEY_COARSEN))
+    if config.SORT_KEY_COARSEN is None:
+        key_coarsen = auto_key_coarsen(sdc)
+    else:
+        key_coarsen = max(1, int(config.SORT_KEY_COARSEN))
     if sort_rays is None:
         # coherence sorting only pays off when the sweep has enough
         # triangle tiles for culling to prune
@@ -619,7 +640,7 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
                      preview_path: str | None = None,
                      checkpoint_path: str | None = None,
                      max_chunks: int | None = None,
-                     on_chunk=None):
+                     on_chunk=None, check_every: int = CHECK_EVERY):
     """Render a path-family scene with the persistent wavefront.
 
     checkpoint_path: dump (film accumulator, next chunk cursor, ray
@@ -729,7 +750,8 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     lane_steps_total = 0
     for q0 in range(q_start, total_q, chunk):
         L_out, rays, (its, wide, lsteps) = run_chunk(
-            steppers, sd, seed_arr, jnp.uint32(q0), q_end)
+            steppers, sd, seed_arr, jnp.uint32(q0), q_end,
+            check_every=check_every)
         steps_total += its
         wide_total += wide
         lane_steps_total += lsteps

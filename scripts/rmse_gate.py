@@ -79,7 +79,8 @@ def write_cpu_ref():
     print(f"wrote {REF_NPZ} (mean={img.mean():.5f})")
 
 
-def run_gate(spp_full: int = 1024, n_lanes: int = 524288):
+def run_gate(spp_full: int = 1024, n_lanes: int = 524288,
+             save_full: str | None = None):
     import jax
 
     backend = jax.default_backend()
@@ -113,6 +114,13 @@ def run_gate(spp_full: int = 1024, n_lanes: int = 524288):
     wall_a = time.time() - t0
     b, st_b = _render(FULL_W, FULL_H, spp_full, 12, n_lanes)
     pair_full = rmse(a, b)
+    if save_full:
+        # the seed-11 full-res render doubles as the path-graph
+        # protocol's PT reference (scripts/pathgraph_eval.py --ref-exr)
+        from nori_tpu.bitmap import write_exr
+
+        write_exr(save_full, a)
+        print(f"saved full-res reference -> {save_full}", flush=True)
     # small-res 64-spp noise predicts full-res 1024-spp pair noise ONLY
     # through the 1/sqrt(spp) model (resolutions differ, so compare the
     # small-res scaling separately at matched res):
