@@ -262,7 +262,7 @@ def render_sharded_wavefront(scene, mesh: Mesh | None = None,
                              n_lanes_dev: int = N_LANES_DEV_DEFAULT,
                              chunk_dev: int | None = None,
                              max_iters: int = 100000,
-                             check_every: int = 16,
+                             check_every: int = 8,
                              checkpoint_path: str | None = None,
                              verbose: bool = False):
     """Full multi-device persistent-wavefront render.
