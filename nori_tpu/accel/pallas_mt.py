@@ -448,7 +448,7 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
 
     t_hi0 = t_hi_of(bt0[:, :1], live0)
     alive0 = jnp.any(live0)
-    _, _, _, bt, bi = jax.lax.while_loop(
+    k_end, _, _, bt, bi = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), t_hi0, alive0, bt0, bi0),
     )
@@ -459,9 +459,17 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
         # may not cover every candidate — finish EXACTLY by sweeping
         # ALL tiles in index order.  Re-testing stored tiles is
         # idempotent; aliveness restarts from the fold state (the
-        # stored walk's skyline exit can't prove coverage here, but
-        # "every shadow lane hit" / "t_hi == 0" still can).
-        ov = oe_ref[i, n_keys] != 0
+        # stored walk's skyline exit can't prove coverage of the
+        # STORED keys here, but it DOES prove the truncated ones:
+        # keys are lb-sorted and truncation keeps the smallest, so a
+        # skyline exit at k_end < n_keys means every truncated
+        # candidate has lb >= the stored key that failed > t_hi and
+        # provably cannot contribute — only walks that ran off the
+        # end (k_end >= n_keys; cond tests k < n_keys before the lb
+        # word, so the clamped key read never masks this) need the
+        # exact fallback.  This gate removed the dominant cost of the
+        # measured 15.7 -> 19.3 ms cap loss (ADVICE r4).
+        ov = (oe_ref[i, n_keys] != 0) & (k_end >= n_keys)
         t_hi_f, alive_f = fold(bt, bi)
 
         def cond2(carry):
@@ -587,15 +595,23 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
 
     if overflow:
         # truncated candidate rows: finish EXACTLY by streaming ALL
-        # tiles in index order (same fallback as the resident kernel;
-        # see ray_tile_entry_keys).  The prologue copy starts
-        # unconditionally (a clamped, wasted slab when the row didn't
-        # overflow) so exactly one copy is in flight at every wait.
-        ov = oe_ref[i, n_keys] != 0
+        # tiles in index order (same fallback as the resident kernel,
+        # with the same k_end gate — a skyline exit before the stored
+        # keys ran out proves the lb-sorted truncated candidates
+        # cannot contribute; see ray_tile_entry_keys).  The prologue
+        # copy and epilogue wait are predicated on ov so the ~99% of
+        # rows that never overflowed don't pay a wasted slab DMA
+        # start+wait (ADVICE r4); inside pl.when the bookkeeping
+        # invariant (exactly one copy in flight at every wait) holds
+        # because the loop can only run when ov is true.
+        ov = (oe_ref[i, n_keys] != 0) & (k_end >= n_keys)
         t_hi_f, alive_f = fold_alive(bt, bi)
         start = jnp.where(ov & alive_f, jnp.int32(0), jnp.int32(n_tt))
-        copy_tile(jnp.minimum(start, n_tt - 1),
-                  jax.lax.rem(start, 2)).start()
+
+        @pl.when(ov)
+        def _start_fb():
+            copy_tile(jnp.minimum(start, n_tt - 1),
+                      jax.lax.rem(start, 2)).start()
 
         def cond2(carry):
             j, t_hi, alive, bt, bi = carry
@@ -612,8 +628,11 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
 
         j_end, _, _, bt, bi = jax.lax.while_loop(
             cond2, body2, (start, t_hi_f, alive_f, bt, bi))
-        copy_tile(jnp.minimum(j_end, n_tt - 1),
-                  jax.lax.rem(j_end, 2)).wait()
+
+        @pl.when(ov)
+        def _wait_fb():
+            copy_tile(jnp.minimum(j_end, n_tt - 1),
+                      jax.lax.rem(j_end, 2)).wait()
 
     t_ref[:, 0:1] = bt
     t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
@@ -631,7 +650,7 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
     tile_t = T // n_tt
 
     if key_cap is None:
-        key_cap = RESIDENT_KEY_CAP
+        key_cap = 1 << 24    # uncapped — the measured streamed-scale default
     order_entry, idx_bits = ray_tile_entry_keys(
         tile_bounds, rays_packed, cap=key_cap)
     n_cols = order_entry.shape[1]
@@ -675,14 +694,16 @@ def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
                       any_hit: bool = False,
                       key_cap: int | None = None):
     """HBM-streamed sweep; returns (t, idx) each (N,), idx == -1 miss.
-    Rays are chunked so the prefetched key table fits the SMEM budget;
-    key rows are K-capped with the exact all-tiles fallback (see
-    ray_tile_entry_keys), which matters even more here than for the
-    resident kernel — streamed-scale scenes have the most tiles.
-    key_cap overrides RESIDENT_KEY_CAP (tests)."""
+    Rays are chunked so the prefetched key table fits the SMEM budget.
+    key_cap: None/0 = uncapped (the DEFAULT — K-capping is a measured
+    LOSS at streamed scale: ajax 2.56 -> 1.93 Mrays/s, because
+    overflow rows re-DMA every slab; see config.SWEEP_KEY_CAP's log);
+    a positive cap K-caps the key rows with the exact all-tiles
+    fallback (see ray_tile_entry_keys) — opt-in for tests and for
+    callers whose scenes measured a cap win."""
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
-    cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
+    cap = 0 if key_cap is None else key_cap
     if cap == 0:
         cap = 1 << 24        # uncapped
     kc = cap + 1 if cap + 1 < n_tt else n_tt
