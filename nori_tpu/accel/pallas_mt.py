@@ -56,6 +56,14 @@ FINE_T = 128
 #: granularity for streamed-scale scenes.
 STREAM_T = 512
 
+#: sub-slab culling granularity inside the streamed kernel: the MT
+#: compute on each DMA'd STREAM_T slab runs per STREAM_CULL_T block,
+#: gated by a scalar AABB test (see _mt_stream_kernel).  0 disables —
+#: the default: measured a 23% LOSS at 128 on the v5e (the scalar
+#: branch + pred cost exceeds the skipped compute; the negative
+#: result is logged at config.STREAM_CULL_T).
+STREAM_CULL_T = 0
+
 #: resident kernel: candidate tiles tested per while_loop iteration.
 #: The loop-carried scalar step (SMEM key fetch, cross-lane t_hi
 #: reduction, while_loop control) costs a large fraction of each
@@ -492,10 +500,11 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     t_ref[:, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
 
 
-def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
+def _mt_stream_kernel(oe_ref, qb_ref, tri_hbm, ray_ref, t_ref, buf, sem,
                       *, n_tt: int, idx_bits: int, tile_t: int,
                       any_hit: bool, n_keys: int | None = None,
-                      overflow: bool = False):
+                      overflow: bool = False, n_sub: int = 1,
+                      use_bw: bool = False):
     """HBM-streamed sweep for scenes whose triangle soup exceeds VMEM
     (the reference's ajax-class scans, ~544k tris:
     scenes/pa2/ajax-normals.xml, src/accel.cpp:24-29's assignment
@@ -509,6 +518,16 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
     DMA bookkeeping invariant: the prologue starts the k=0 copy, every
     loop body waits copy k and starts copy k+1 (index clamped), so
     exactly one copy is in flight at loop exit — the epilogue waits it.
+
+    n_sub > 1 enables SUB-SLAB culling: the DMA unit stays the full
+    tile_t slab (latency amortization) but the MT compute runs per
+    tile_t/n_sub sub-block, each gated by a cheap scalar-bounds slab
+    test against the tile's live-lane skyline (qb_ref: per-sub-block
+    AABBs, 8 floats each, prefetched to SMEM).  At ajax scale the
+    512-triangle slab granularity over-tests ~3x vs the lanes' true
+    candidate sets (measured r5: union 3122 pairs/ray vs lane 1050),
+    so skipping provably-missed 128-triangle quarters converts that
+    over-test directly into time.
     """
     if n_keys is None:
         n_keys = n_tt
@@ -523,6 +542,14 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
     mint, maxt = col(6), col(7)
     live0 = (mint <= maxt)
     idx_mask = jnp.int32((1 << idx_bits) - 1)
+    if n_sub > 1:
+        tiny = jnp.float32(1e-20)
+
+        def _inv(c):
+            return 1.0 / jnp.where(
+                jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c)
+
+        inv_dx, inv_dy, inv_dz = _inv(dx), _inv(dy), _inv(dz)
 
     def t_hi_of(bt, live):
         t_cap = jnp.where(live, jnp.minimum(bt, maxt), 0.0)
@@ -545,20 +572,67 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
     bt0 = jnp.full((TILE_N, 1), jnp.inf, jnp.float32)
     bi0 = jnp.full((TILE_N, 1), -1, jnp.int32)
 
-    def fold_tile(jj, slot, bt, bi):
-        tris = buf[slot]
-        hit, t, u, v = _mt_block(
-            tris, ox, oy, oz, dx, dy, dz, mint, maxt)
+    sub_t = tile_t // n_sub
+
+    def _fold_block(tris_sub, base, bt, bi):
+        """Pair-test one (rows, sub_t) block; base = global tri
+        offset.  The 16-row DMA slab carries either [v0|e1|e2|0*7] or
+        [bw(12)|0*4]; both block variants read only their rows."""
+        blk = _bw_block if use_bw else _mt_block
+        hit, t, u, v = blk(
+            tris_sub, ox, oy, oz, dx, dy, dz, mint, maxt)
         tm = jnp.where(hit, t, jnp.inf)
         tile_min = jnp.min(tm, axis=1, keepdims=True)
         is_min = (tm == tile_min) & hit
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, tile_t), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, sub_t), 1)
         min_lane = jnp.min(
-            jnp.where(is_min, lane, jnp.int32(tile_t)),
+            jnp.where(is_min, lane, jnp.int32(sub_t)),
             axis=1, keepdims=True)
         better = tile_min < bt
         bt = jnp.where(better, tile_min, bt)
-        bi = jnp.where(better, min_lane + jj * tile_t, bi)
+        bi = jnp.where(better, min_lane + base, bi)
+        return bt, bi
+
+    def _sub_pred(qi, bt, bi):
+        """Can ANY live lane hit sub-block qi's AABB before its current
+        best/maxt?  Scalar bounds from SMEM broadcast into lane ops."""
+        lox, loy, loz = (qb_ref[qi * 8 + 0], qb_ref[qi * 8 + 1],
+                         qb_ref[qi * 8 + 2])
+        hix, hiy, hiz = (qb_ref[qi * 8 + 3], qb_ref[qi * 8 + 4],
+                         qb_ref[qi * 8 + 5])
+        t0x = (lox - ox) * inv_dx
+        t1x = (hix - ox) * inv_dx
+        t0y = (loy - oy) * inv_dy
+        t1y = (hiy - oy) * inv_dy
+        t0z = (loz - oz) * inv_dz
+        t1z = (hiz - oz) * inv_dz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        if any_hit:
+            live = live0 & (bi < 0)
+            t_cap = maxt
+        else:
+            live = live0
+            t_cap = jnp.minimum(bt, maxt)
+        ok = live & (tn <= tf) & (tf >= mint) & (tn <= t_cap)
+        return jnp.any(ok)
+
+    def fold_tile(jj, slot, bt, bi):
+        tris = buf[slot]
+        if n_sub == 1:
+            return _fold_block(tris, jj * tile_t, bt, bi)
+        for s in range(n_sub):
+            tris_sub = tris[:, s * sub_t:(s + 1) * sub_t]
+            bt, bi = jax.lax.cond(
+                _sub_pred(jj * n_sub + s, bt, bi),
+                lambda bt_bi, ts=tris_sub, ss=s: _fold_block(
+                    ts, jj * tile_t + ss * sub_t, *bt_bi),
+                lambda bt_bi: bt_bi,
+                (bt, bi))
         return bt, bi
 
     def fold_alive(bt, bi):
@@ -639,7 +713,8 @@ def _mt_stream_kernel(oe_ref, tri_hbm, ray_ref, t_ref, buf, sem,
 
 
 def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
-                 key_cap: int | None = None):
+                 key_cap: int | None = None,
+                 cull_t: int | None = None, use_bw: bool = False):
     """One pallas_call of the streamed kernel over all given rays.
     tris_packed rows must be 8-aligned on TPU (scene.compile pads
     streamed soups to 16 rows) for the HBM DMA slices."""
@@ -657,12 +732,38 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
     overflow = n_cols != n_tt
     n_keys = n_cols - 1 if overflow else n_tt
 
+    # sub-slab culling bounds (see _mt_stream_kernel): recomputed from
+    # the packed soup per sweep (one 19 MB HBM scan at ajax scale,
+    # ~30 us — not worth a SceneData field)
+    if cull_t is None:
+        from nori_tpu import config as _cfg
+
+        cull_t = getattr(_cfg, "STREAM_CULL_T", STREAM_CULL_T)
+    n_sub = tile_t // cull_t if (cull_t and tile_t % cull_t == 0
+                                 and tile_t > cull_t
+                                 and not use_bw) else 1
+    if n_sub > 1:
+        v0 = tris_packed[0:3]
+        p1 = v0 + tris_packed[3:6]
+        p2 = v0 + tris_packed[6:9]
+        lo = jnp.minimum(v0, jnp.minimum(p1, p2))
+        hi = jnp.maximum(v0, jnp.maximum(p1, p2))
+        nq = T // cull_t
+        lo = lo.reshape(3, nq, cull_t).min(-1)
+        hi = hi.reshape(3, nq, cull_t).max(-1)
+        qb = jnp.concatenate(
+            [lo.T, hi.T, jnp.zeros((nq, 2), jnp.float32)],
+            axis=1).reshape(-1)
+    else:
+        qb = jnp.zeros((8,), jnp.float32)
+
     kernel = functools.partial(
         _mt_stream_kernel, n_tt=n_tt, idx_bits=idx_bits, tile_t=tile_t,
-        any_hit=any_hit, n_keys=n_keys, overflow=overflow)
+        any_hit=any_hit, n_keys=n_keys, overflow=overflow, n_sub=n_sub,
+        use_bw=use_bw)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_rt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # soup stays in HBM
@@ -685,14 +786,18 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order_entry, tris_packed, rays_packed)
+    )(order_entry, qb, tris_packed, rays_packed)
     return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "key_cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "key_cap", "cull_t",
+                                    "use_bw"))
 def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
                       any_hit: bool = False,
-                      key_cap: int | None = None):
+                      key_cap: int | None = None,
+                      cull_t: int | None = None,
+                      use_bw: bool = False):
     """HBM-streamed sweep; returns (t, idx) each (N,), idx == -1 miss.
     Rays are chunked so the prefetched key table fits the SMEM budget.
     key_cap: None/0 = uncapped (the DEFAULT — K-capping is a measured
@@ -712,13 +817,14 @@ def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
     chunk_rays = max_rt * TILE_N
     if N <= chunk_rays:
         return _stream_call(tris_packed, tile_bounds, rays_packed,
-                            any_hit, key_cap=cap)
+                            any_hit, key_cap=cap, cull_t=cull_t,
+                            use_bw=use_bw)
     outs = [[], []]
     for lo in range(0, N, chunk_rays):
         hi = min(lo + chunk_rays, N)
         res = _stream_call(
             tris_packed, tile_bounds, rays_packed[:, lo:hi], any_hit,
-            key_cap=cap)
+            key_cap=cap, cull_t=cull_t, use_bw=use_bw)
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)

@@ -271,9 +271,20 @@ def _sweep_any(scene, rays, any_hit: bool):
     key_cap = (auto_key_cap(n_tt, streamed)
                if config.SWEEP_KEY_CAP is None else config.SWEEP_KEY_CAP)
     if streamed:
+        # Baldwin-Weber operand when the scene carries the 16-row
+        # streamed BW pack (scene.compile builds it for streamed-scale
+        # soups): the slab DMA ships 16 rows either way, so BW costs
+        # no bandwidth and drops the pair test from ~56 to ~40 VPU ops
+        use_bw_s = (config.USE_BW_SWEEP
+                    and scene.tri_bw.shape[0] == 16
+                    and scene.tri_bw.shape[1] == T)
         return mt_sweep_streamed(
-            scene.tri_packed, scene.tri_tile_bounds, rays,
-            any_hit=any_hit, key_cap=key_cap)
+            scene.tri_bw if use_bw_s else scene.tri_packed,
+            scene.tri_tile_bounds, rays,
+            any_hit=any_hit, key_cap=key_cap,
+            # resolved HERE (not inside the jitted callee) so config
+            # A/Bs retrace: cull_t / use_bw are static jit args
+            cull_t=config.STREAM_CULL_T, use_bw=use_bw_s)
     use_mxu = (config.USE_MXU_SWEEP
                and scene.tri_mxu.size * 4 <= RESIDENT_MXU_VMEM_BUDGET)
     use_bw = (config.USE_BW_SWEEP and not use_mxu

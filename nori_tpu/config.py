@@ -79,6 +79,21 @@ SWEEP_KEY_CAP: int | None = None
 #: scenes, 8 on streamed-scale, exact otherwise); an int pins it.
 SORT_KEY_COARSEN: int | None = None
 
+#: streamed-sweep sub-slab culling granularity (0 disables — the
+#: measured DEFAULT; ints must divide STREAM_T).  NEGATIVE RESULT
+#: (2026-08-20, r5): gating the MT compute per 128-triangle sub-block
+#: of each DMA'd 512-slab with a scalar AABB test was built on the
+#: observation that the slab granularity over-tests ~3x (union 3122
+#: pairs/ray vs lane 1050 on the ajax bounce distribution), but
+#: measured SLOWER: closest sweep 23.9 -> 29.4 ms (cull_t=128) ->
+#: 48.9 ms (cull_t=64) — the per-sub-block lax.cond + 6 SMEM scalar
+#: reads + cross-lane any() inside the serialized walk cost more than
+#: the skipped compute, because sub-blocks of a candidate slab are
+#: usually union-hit anyway (the candidate lists are already per-ray-
+#: tile unions).  Machinery kept (exact, tested in interpret mode)
+#: for hardware where scalar branches are cheaper.
+STREAM_CULL_T: int = 0
+
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only
 #: kernel branches get CI coverage

@@ -412,9 +412,16 @@ class Scene(NoriObject):
             tri_mxu=jnp.asarray(
                 _build_tri_mxu(v0, e1, e2, n_tris) if not streamed
                 else np.zeros((16, 4), np.float32)),
+            # streamed scenes get BW rows padded to the 16-row DMA
+            # sublane alignment: the streamed kernel's slab copies ship
+            # 16 rows either way (7 of them zeros under the MT layout),
+            # so the 12-row Baldwin-Weber operand is bandwidth-free and
+            # saves ~16 VPU ops per pair test
             tri_bw=jnp.asarray(
                 _build_tri_bw(v0, e1, e2, n_tris) if not streamed
-                else np.zeros((12, 4), np.float32)),
+                else np.concatenate(
+                    [_build_tri_bw(v0, e1, e2, n_tris),
+                     np.zeros((4, t_padded), np.float32)], axis=0)),
             tri_tile_bounds=jnp.asarray(tile_bounds),
             scene_bounds=jnp.asarray(scene_bounds_row),
             bsdf=bsdf_table,

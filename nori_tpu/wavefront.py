@@ -690,7 +690,8 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
     cache_key = (mode, n_lanes, chunk, spp, max_depth, w, h, sort_rays,
                  _cfg.SWEEP_VISIT_W, _cfg.SWEEP_VISIT_W_ANYHIT,
                  _cfg.SWEEP_KEY_CAP, _cfg.SORT_KEY_COARSEN,
-                 _cfg.USE_BW_SWEEP, _cfg.USE_MXU_SWEEP)
+                 _cfg.USE_BW_SWEEP, _cfg.USE_MXU_SWEEP,
+                 _cfg.STREAM_CULL_T)
     cache = getattr(scene, "_wf_cache", None)
     if cache is None or cache[0] != cache_key:
         init, step, n_act, finalize = make_wavefront_stepper(

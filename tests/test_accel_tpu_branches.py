@@ -218,6 +218,33 @@ def test_streamed_sweep_matches_brute(sd, rays):
         np.asarray(t)[vo], np.asarray(oracle.t)[vo], rtol=1e-5)
 
 
+def test_streamed_sweep_bw_matches_mt(sd, rays):
+    # the Baldwin-Weber streamed operand (production default for
+    # streamed-scale scenes, traverse._sweep_any) must produce the
+    # SAME hit set as the MT layout: the |n.d| cutoff equals |det|
+    from nori_tpu.accel.pallas_mt import STREAM_T, mt_sweep_streamed
+
+    o, d, mint, maxt = rays
+    rp, n = pack_rays(o, d, mint, maxt)
+    tb = np.asarray(sd.tri_tile_bounds)
+    grp = STREAM_T // FINE_T
+    n_tt = tb.shape[0] // grp
+    tb_s = np.zeros((n_tt, 8), np.float32)
+    tb_s[:, 0:3] = tb[:n_tt * grp, 0:3].reshape(n_tt, grp, 3).min(1)
+    tb_s[:, 3:6] = tb[:n_tt * grp, 3:6].reshape(n_tt, grp, 3).max(1)
+    cover = n_tt * grp * FINE_T
+    t0, i0 = mt_sweep_streamed(
+        sd.tri_packed[:, :cover], jnp.asarray(tb_s), rp)
+    t1, i1 = mt_sweep_streamed(
+        sd.tri_bw[:, :cover], jnp.asarray(tb_s), rp, use_bw=True)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    hit = np.asarray(i0) >= 0
+    # t is rounded through different arithmetic (plane equation vs MT
+    # determinant ratio): identical hit SET, ULP-scale t differences
+    np.testing.assert_allclose(
+        np.asarray(t1)[hit], np.asarray(t0)[hit], rtol=1e-4)
+
+
 def test_entry_keys_cover_all_candidates(sd, rays):
     # the packed-key table must include every candidate tile of every
     # ray tile, in ascending entry order, with a conservative bound
