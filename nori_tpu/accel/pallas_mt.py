@@ -288,13 +288,13 @@ def _bw_block(tris, ox, oy, oz, dx, dy, dz, mint, maxt):
     return hit, t, u, v
 
 
-def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
-                        t_ref,
-                        *, n_tt: int, idx_bits: int, any_hit: bool,
+def _mt_resident_kernel(oe_ref, *rest,
+                        n_tt: int, idx_bits: int, any_hit: bool,
                         use_mxu: bool, use_bw: bool = False,
                         visit_w: int = VISIT_W,
                         n_keys: int | None = None,
-                        overflow: bool = False):
+                        overflow: bool = False,
+                        mixed: bool = False):
     """Resident sweep: 1-D grid over ray tiles; the WHOLE triangle soup
     lives in VMEM and an in-kernel while_loop walks this ray tile's
     candidate triangle tiles in entry order, exiting as soon as the
@@ -329,6 +329,17 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     the VPU keeps only the reciprocal + compare + fold epilogue (~20
     ops/pair instead of the ~60-op Moller-Trumbore block).
 
+    mixed: a second prefetched scalar operand ah_ref (n_rt,) int32
+    carries a PER-RAY-TILE any-hit flag, so one launch sweeps closest-
+    hit ray tiles and shadow (any-hit) ray tiles together — the merged
+    dual-query design (one launch floor per step instead of two).  The
+    unified exit rule live_n = live0 & (~ah | bi < 0), alive =
+    t_hi(live_n) > 0 reproduces both static exits: closest tiles have
+    ah = 0 so live_n = live0; any-hit tiles stop counting lanes the
+    moment they record any hit, and t_hi > 0 == any(live_n) because a
+    live lane's t_cap = min(inf, maxt) = maxt > 0 (live means
+    mint <= maxt with mint > 0 for every produced ray).
+
     Layout notes (all measured on the v5e chip): rays stay (8, TILE_N)
     — the lane->sublane reshape of the 8 components compiles to a fast
     layout, whereas loading rays ROW-major (TILE_N, 8) makes the
@@ -339,8 +350,14 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     """
     if n_keys is None:
         n_keys = n_tt
+    if mixed:
+        ah_ref, tri_ref, ray_ref, t_ref = rest
+    else:
+        tri_ref, ray_ref, t_ref = rest
     i = pl.program_id(0)
     rays = ray_ref[:, :]
+    if mixed:
+        ah = ah_ref[i] != 0
 
     def col(c):
         return rays[c, :].reshape(TILE_N, 1)
@@ -429,6 +446,12 @@ def _mt_resident_kernel(oe_ref, tri_ref, ray_ref,
     def fold(bt, bi):
         """Exit-rule epilogue shared by both walks: recompute the
         skyline t_hi and whether any lane still needs tiles."""
+        if mixed:
+            # runtime per-tile flag: see the docstring's equivalence
+            # argument.  `ah` is an SMEM scalar; the select broadcasts.
+            live_n = live0 & ((bi < 0) | jnp.logical_not(ah))
+            t_hi_n = t_hi_of(bt, live_n)
+            return t_hi_n, t_hi_n > 0
         if any_hit:
             live_n = live0 & (bi < 0)
             alive = jnp.any(live_n)
@@ -1229,7 +1252,7 @@ def ray_tile_entries(tile_bounds, rays_packed, tile_n: int = TILE_N,
 def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
                    use_mxu: bool, visit_w: int = VISIT_W,
                    precomputed=None, use_bw: bool = False,
-                   key_cap: int | None = None):
+                   key_cap: int | None = None, tile_ah=None):
     """One pallas_call of the resident kernel over all given rays.
 
     tris_op: (9, T) soup, (12, T) Baldwin-Weber transforms when
@@ -1238,12 +1261,16 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     precomputed: optional (keys, idx_bits) packed candidate table
     (ray_tile_entry_keys format) — skips the in-call entry-key slab
     pass entirely.
+    tile_ah: optional (n_rt,) int32 per-ray-tile any-hit flags — the
+    MIXED dual-query launch (closest + shadow tiles in one call);
+    `any_hit` is ignored when given.
     """
     rows, cols = tris_op.shape
     T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_rt = N // TILE_N
     n_tt = T // FINE_T
+    mixed = tile_ah is not None
 
     if key_cap is None:
         key_cap = RESIDENT_KEY_CAP
@@ -1261,10 +1288,10 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     kernel = functools.partial(
         _mt_resident_kernel, n_tt=n_tt, idx_bits=idx_bits,
         any_hit=any_hit, use_mxu=use_mxu, use_bw=use_bw,
-        visit_w=visit_w, n_keys=n_keys, overflow=overflow)
+        visit_w=visit_w, n_keys=n_keys, overflow=overflow, mixed=mixed)
     interpret = jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,   # packed [order | sorted entry]
+        num_scalar_prefetch=2 if mixed else 1,
         grid=(n_rt,),
         in_specs=[
             pl.BlockSpec((rows, cols), lambda i, *pref: (0, 0),
@@ -1278,6 +1305,7 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
     # ops/pair by block variant: MT ~56 VPU ops on a (9, T) operand,
     # Baldwin-Weber ~40 on (12, T), MXU ~20 VPU ops on (10, 4T)
     pair_flops = 20 if use_mxu else (40 if rows == 12 else 56)
+    operands = ((order_entry, tile_ah) if mixed else (order_entry,))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1288,7 +1316,7 @@ def _resident_call(tris_op, tile_bounds, rays_packed, any_hit: bool,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order_entry, tris_op, rays_packed)
+    )(*operands, tris_op, rays_packed)
     return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
@@ -1334,6 +1362,49 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
         res = _resident_call(
             tris_op, tile_bounds, rays_packed[:, lo:hi], any_hit,
             use_mxu, visit_w, use_bw=use_bw, key_cap=cap)
+        for acc, r in zip(outs, res):
+            acc.append(r)
+    return tuple(jnp.concatenate(a) for a in outs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("use_mxu", "use_bw", "visit_w",
+                                    "key_cap"))
+def mt_sweep_resident_mixed(tris_op, tile_bounds, scene_bounds,
+                            rays_packed, tile_ah,
+                            use_mxu: bool = False, use_bw: bool = False,
+                            visit_w: int = VISIT_W,
+                            key_cap: int | None = None):
+    """MIXED dual-query resident sweep: tile_ah (n_rt,) int32 flags
+    each TILE_N-lane ray tile as closest-hit (0) or any-hit (1), so
+    one pallas launch serves both query types — the merged
+    closest+shadow step design (scripts/tpu_jobs/README.md next-step
+    #2: one launch floor per wavefront step instead of two).  Returns
+    (t, idx) each (N,); for any-hit tiles only idx >= 0 is meaningful.
+    Chunking/capping identical to mt_sweep_resident."""
+    del scene_bounds
+    cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
+    if cap == 0:
+        cap = 1 << 24
+    rows, cols = tris_op.shape
+    T = cols // 4 if use_mxu else cols
+    _, N = rays_packed.shape
+    n_tt = T // FINE_T
+    kc = cap + 1 if cap + 1 < n_tt else n_tt
+    pad_cols = -(-kc // 128) * 128
+    max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
+    chunk_rays = max_rt * TILE_N
+    if N <= chunk_rays:
+        return _resident_call(tris_op, tile_bounds, rays_packed, False,
+                              use_mxu, visit_w, use_bw=use_bw,
+                              key_cap=cap, tile_ah=tile_ah)
+    outs = [[], []]
+    for lo in range(0, N, chunk_rays):
+        hi = min(lo + chunk_rays, N)
+        res = _resident_call(
+            tris_op, tile_bounds, rays_packed[:, lo:hi], False,
+            use_mxu, visit_w, use_bw=use_bw, key_cap=cap,
+            tile_ah=tile_ah[lo // TILE_N:hi // TILE_N])
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)

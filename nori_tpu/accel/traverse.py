@@ -305,6 +305,66 @@ def _sweep_any(scene, rays, any_hit: bool):
     )
 
 
+def intersect_mixed(scene, oc, dc, mintc, maxtc, os_, ds_, mints, maxts,
+                    raw: bool = False):
+    """MERGED dual query: closest-hit on (oc..) and any-hit on (os_..)
+    in ONE sweep launch (resident Pallas path; other backends fall
+    back to two calls).  Returns (Hit for the closest set, occluded
+    bool for the shadow set); with raw=True, (t, idx, occ) with t/idx
+    PADDED to the sweep width and no barycentric epilogue — the
+    wavefront's merged step carries (t, idx) across the step boundary
+    and runs sweep_hit_epilogue at consumption.  The merged step pays
+    one launch floor per step instead of two
+    (scripts/tpu_jobs/README.md next-step design #2)."""
+    from nori_tpu import config
+    from nori_tpu.accel.pallas_mt import (
+        RESIDENT_VMEM_BUDGET, TILE_N, mt_sweep_resident_mixed, pack_rays,
+    )
+
+    mode = config.resolve_accel(scene.tri_v0.shape[0])
+    T = scene.tri_packed.shape[1]
+    streamed = 9 * T * 4 > RESIDENT_VMEM_BUDGET
+    if mode != "pallas" or streamed:
+        hit = intersect(scene, oc, dc, mintc, maxtc)
+        occ = occluded(scene, os_, ds_, mints, maxts)
+        if raw:
+            t = jnp.where(hit.valid, hit.t, jnp.inf)
+            idx = jnp.where(hit.valid, hit.tri, -1)
+            return t, idx, occ
+        return hit, occ
+
+    rays_c, n_c = pack_rays(oc, dc, mintc, maxtc)
+    rays_s, n_s = pack_rays(os_, ds_, mints, maxts)
+    rays = jnp.concatenate([rays_c, rays_s], axis=1)
+    n_rt_c = rays_c.shape[1] // TILE_N
+    n_rt = rays.shape[1] // TILE_N
+    tile_ah = (jnp.arange(n_rt, dtype=jnp.int32) >= n_rt_c
+               ).astype(jnp.int32)
+
+    n_tt = scene.tri_tile_bounds.shape[0]
+    key_cap = (auto_key_cap(n_tt, False)
+               if config.SWEEP_KEY_CAP is None else config.SWEEP_KEY_CAP)
+    use_bw = (config.USE_BW_SWEEP
+              and scene.tri_bw.shape[1] == T
+              and 12 * T * 4 <= RESIDENT_VMEM_BUDGET)
+    tris_op = scene.tri_bw if use_bw else scene.tri_packed
+    # ONE static visit width for both query types: the closest walk's
+    # W>1 skyline over-test was the measured 15.7 -> 19.1 ms loss, so
+    # the merged launch uses the closest heuristic (the shadow side's
+    # W=2 gain was +0.6 ms — the launch-floor saving must beat it)
+    vw = (auto_visit_w(n_tt, False) if config.SWEEP_VISIT_W is None
+          else config.SWEEP_VISIT_W)
+    t, idx = mt_sweep_resident_mixed(
+        tris_op, scene.tri_tile_bounds, scene.scene_bounds, rays,
+        tile_ah, use_bw=use_bw, visit_w=vw, key_cap=key_cap)
+    Nc = rays_c.shape[1]
+    occ = (idx[Nc:] >= 0)[:n_s]
+    if raw:
+        return t[:Nc], idx[:Nc], occ
+    hit = sweep_hit_epilogue(scene, rays_c, t[:Nc], idx[:Nc], n_c)
+    return hit, occ
+
+
 def _occluded_pallas_sorted(scene, o, d, mint, maxt) -> jnp.ndarray:
     """Shadow query with its OWN coherence sort.
 

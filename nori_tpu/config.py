@@ -94,6 +94,18 @@ SORT_KEY_COARSEN: int | None = None
 #: for hardware where scalar branches are cheaper.
 STREAM_CULL_T: int = 0
 
+#: merged closest+shadow single-launch wavefront step (resident-scale
+#: path-family scenes only): the step's NEE shadow sweep and the NEXT
+#: bounce's closest sweep ride ONE mixed pallas launch with a
+#: per-ray-tile any-hit flag (pallas_mt.mt_sweep_resident_mixed), so
+#: each step pays one launch floor instead of two.  The NEE visibility
+#: lands in the SAME step (the merged sweep runs after the coherence
+#: sort; the pending NEE contribution is applied to the permuted
+#: state/records afterwards), so occupancy and sample values are
+#: unchanged.  See scripts/tpu_jobs/README.md "Next-step designs" #2;
+#: measured A/B recorded there.
+MERGED_SWEEP: bool = False
+
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only
 #: kernel branches get CI coverage

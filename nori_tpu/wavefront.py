@@ -141,7 +141,9 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     cursor are garbage that later windows overwrite.
     """
     from nori_tpu import config
-    from nori_tpu.accel.pallas_mt import pack_rays
+    from nori_tpu.accel.pallas_mt import (
+        RESIDENT_VMEM_BUDGET, pack_rays)
+    from nori_tpu.accel.traverse import intersect_mixed, sweep_hit_epilogue
 
     cam = scene.camera
     w, h = cam.output_size
@@ -150,6 +152,18 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     use_nee = mode in (EMS, MIS)
     N = n_lanes
     sdc = scene.compile()
+    # merged closest+shadow single-launch step (config.MERGED_SWEEP):
+    # resident-scale NEE modes only.  The step carries the NEXT
+    # bounce's (t, idx) across the step boundary: the end-of-step
+    # mixed sweep traces [sorted next rays | this step's shadow rays]
+    # in ONE launch, the NEE visibility is applied to the permuted
+    # state/records, and the carried hit is consumed by the next
+    # step's interaction fill.  Sample values are IDENTICAL to the
+    # two-launch step (vis enters multiplicatively through the same
+    # where); only launch structure changes.
+    merged = (config.MERGED_SWEEP and use_nee
+              and 9 * sdc.tri_packed.shape[1] * 4
+              <= RESIDENT_VMEM_BUDGET)
     if config.SORT_KEY_COARSEN is None:
         key_coarsen = auto_key_coarsen(sdc)
     else:
@@ -184,6 +198,12 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             spec=jnp.ones((N,), bool),
             prev_pdf=jnp.zeros((N,), jnp.float32),
         )
+        if merged:
+            # carried next-ray hits; the first step self-primes via
+            # lax.cond on `primed` (the merged sweep fills them after)
+            state["hit_t"] = jnp.full((N,), jnp.inf, jnp.float32)
+            state["hit_tri"] = jnp.full((N,), -1, jnp.int32)
+            state["primed"] = jnp.asarray(False)
         records = jnp.concatenate([
             jnp.full((chunk + N, 1),
                      jax.lax.bitcast_convert_type(REC_SENTINEL, jnp.float32)),
@@ -207,7 +227,22 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
         spec, prev_pdf = st["spec"], st["prev_pdf"]
 
         rays = rays + jnp.sum(active, dtype=jnp.int32)
-        hit = intersect(sd, o, d, mint, maxt)
+        if merged:
+            # hits were traced by the PREVIOUS step's merged sweep
+            # (aligned with this step's lane order); the first step of
+            # a chunk self-primes with a one-off closest sweep
+            def _prime():
+                h = intersect(sd, o, d, mint, maxt)
+                return (jnp.where(h.valid, h.t, jnp.inf),
+                        jnp.where(h.valid, h.tri, -1))
+
+            hit_t, hit_tri = jax.lax.cond(
+                st["primed"],
+                lambda: (st["hit_t"], st["hit_tri"]), _prime)
+            rp_cur, _ = pack_rays(o, d, mint, maxt)
+            hit = sweep_hit_epilogue(sd, rp_cur, hit_t, hit_tri, N)
+        else:
+            hit = intersect(sd, o, d, mint, maxt)
         its = fill_interaction_fast(sd, hit, o, d)
         live_hit = active & its.valid
 
@@ -271,11 +306,6 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             # degenerate interval for idle lanes: keeps the sweep
             # kernel's ray-tile culling bounds tight
             smaxt = jnp.where(ok, smaxt, -1.0)
-            # (measured: packing culled lanes to the tail before this
-            # sweep COSTS more than it saves — the argsort + gathers
-            # add ~2.3 ms while the any-hit early exit already prunes
-            # mostly-culled tiles)
-            vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
             rays = rays + jnp.sum(ok, dtype=jnp.int32)
             if mode == MIS:
                 p_b = pdf_bsdf(params, wi_local, wo_local)
@@ -285,9 +315,20 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             contrib = (
                 beta * f * le_y
                 * (wo_local[..., 2] / jnp.maximum(p_light_sa, 1e-20)
-                   * w_l * vis)[:, None]
+                   * w_l)[:, None]
             )
-            L = L + jnp.where((ok & vis)[:, None], contrib, 0.0)
+            if merged:
+                # visibility resolves in the end-of-step merged sweep;
+                # carry the pending contribution until then
+                pend = jnp.where(ok[:, None], contrib, 0.0)
+                sh_args = (its.p, wo_w, smint, smaxt)
+            else:
+                # (measured: packing culled lanes to the tail before
+                # this sweep COSTS more than it saves — the argsort +
+                # gathers add ~2.3 ms while the any-hit early exit
+                # already prunes mostly-culled tiles)
+                vis = ~occluded(sd, its.p, wo_w, smint, smaxt)
+                L = L + jnp.where((ok & vis)[:, None], contrib, 0.0)
 
         # ---- Russian roulette + BSDF sampling -----------------------
         alive = live_hit
@@ -426,7 +467,25 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
             perm = jnp.argsort(key)
         m = _pack_state(st, rec_q, rec_l)[perm]
         st = _unpack_state(m, q0)
-        window = m[::-1, 19:23]
+        if merged:
+            # ONE mixed launch: closest-hit for the permuted next rays
+            # + any-hit for this step's shadow rays (pre-perm order).
+            t_c, i_c, occ = intersect_mixed(
+                sd, st["o"], st["d"], st["mint"], st["maxt"],
+                *sh_args, raw=True)
+            st["hit_t"] = t_c[:N]
+            st["hit_tri"] = i_c[:N]
+            st["primed"] = jnp.asarray(True)
+            # apply the pending NEE contribution: to L for surviving
+            # lanes, to the record rows for lanes that terminated this
+            # step (their L was captured before the sweep)
+            dLp = (pend * (~occ)[:, None])[perm]
+            done_p = done[perm]
+            st["L"] = st["L"] + jnp.where(done_p[:, None], 0.0, dLp)
+            rec_lp = m[:, 20:23] + jnp.where(done_p[:, None], dLp, 0.0)
+            window = jnp.concatenate([m[:, 19:20], rec_lp], axis=1)[::-1]
+        else:
+            window = m[::-1, 19:23]
         records = jax.lax.dynamic_update_slice(records, window, (w_cur, 0))
         w_cur = w_cur + n_flush
         return (st, next_q, records, w_cur, rays, q_hi)
@@ -691,7 +750,7 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
                  _cfg.SWEEP_VISIT_W, _cfg.SWEEP_VISIT_W_ANYHIT,
                  _cfg.SWEEP_KEY_CAP, _cfg.SORT_KEY_COARSEN,
                  _cfg.USE_BW_SWEEP, _cfg.USE_MXU_SWEEP,
-                 _cfg.STREAM_CULL_T)
+                 _cfg.STREAM_CULL_T, _cfg.MERGED_SWEEP)
     cache = getattr(scene, "_wf_cache", None)
     if cache is None or cache[0] != cache_key:
         init, step, n_act, finalize = make_wavefront_stepper(
