@@ -275,19 +275,15 @@ def main():
 
     xml_row("table_mis", REF_TABLE, 32, 131072, TABLE_TUNE, 8)
 
-    # ajax-scale scenes (541k tris -> HBM-streamed sweep), through the
-    # SAME persistent-wavefront production path as every other row so
-    # the Mrays/s figures are comparable (traced rays, not camera
-    # rays).  spp=4: at streamed scale the lane pool is saturated from
-    # the first step (131k lanes vs 3.8M camera samples even at spp=4),
-    # so unlike the small scenes the figure is spp-independent already
-    # — measured r3: spp=4 rows 1.949/1.956 vs r4 spp=32 interactive
-    # 1.95/2.56; higher spp only multiplies row runtime at the bench's
-    # slowest per-ray rate.  The ajax scan itself is absent from the
-    # reference checkout; the parser substitutes the procedural
-    # same-scale stand-in (scenes_builtin.ajax_standin_meshdata).
+    # ajax-scale scenes (541k tris -> HBM-streamed sweep) through the
+    # batch driver (their integrators are normals/whitted).  r5: the
+    # fast one-gather helpers tripled the whitted row (2.53 -> 4.06 at
+    # spp=4, 5.73 at spp=16 where the batch pool fills; measured
+    # 2026-08-21, rows cost 0.4-2.7 s warm).  The ajax scan itself is
+    # absent from the reference checkout; the parser substitutes the
+    # procedural same-scale stand-in (scenes_builtin).
     xml_row("ajax_normals", REF_AJAX_N, 4, 131072, AJAX_TUNE, 15)
-    xml_row("ajax_rough", REF_AJAX_R, 4, 131072, AJAX_TUNE, 25)
+    xml_row("ajax_rough", REF_AJAX_R, 16, 131072, AJAX_TUNE, 25)
 
     # veach MIS stress (scenes/pa5/veach_mi): the canonical multiple-
     # importance-sampling scene; tests/test_veach_mis.py pins the

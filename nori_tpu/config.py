@@ -98,13 +98,21 @@ STREAM_CULL_T: int = 0
 #: path-family scenes only): the step's NEE shadow sweep and the NEXT
 #: bounce's closest sweep ride ONE mixed pallas launch with a
 #: per-ray-tile any-hit flag (pallas_mt.mt_sweep_resident_mixed), so
-#: each step pays one launch floor instead of two.  The NEE visibility
-#: lands in the SAME step (the merged sweep runs after the coherence
-#: sort; the pending NEE contribution is applied to the permuted
-#: state/records afterwards), so occupancy and sample values are
-#: unchanged.  See scripts/tpu_jobs/README.md "Next-step designs" #2;
-#: measured A/B recorded there.
-MERGED_SWEEP: bool = False
+#: each step pays one launch sequence instead of two.  The NEE
+#: visibility lands in the SAME step (the merged sweep runs after the
+#: coherence sort; the pending NEE contribution is applied to the
+#: permuted state/records afterwards), so occupancy and sample values
+#: are unchanged (bit-exact, tested).  Measured A/B (2026-08-21, one
+#: v5e chip, warm): table_mis 131k 7.42 -> 7.83 Mrays/s (+5.5% — the
+#: capped-key band where 2N rays fit ONE pallas call, so the merge
+#: genuinely halves launches); cbox 15.00 -> 14.26 (-5%: launches
+#: were already cheap, the restructure overhead shows); living-room
+#: 512k 12.89 -> 9.61 (-25%: both forms chunk to 16 calls — zero
+#: launch saving — and the merged walk runs every tile at the
+#: closest visit width; see tpu_jobs/README.md).  None = the
+#: measured heuristic: merge exactly when the scene sits in the
+#: capped-key band AND the combined 2N-ray sweep fits one call.
+MERGED_SWEEP: bool | None = None
 
 #: tests only: run Pallas kernels in interpret mode on CPU where the
 #: production code would otherwise take a jnp fallback, so TPU-only

@@ -18,7 +18,7 @@ from nori_tpu.registry import register_class
 from nori_tpu.core.vecmath import EPSILON, dot, make_frame, to_world
 from nori_tpu import warp
 from nori_tpu.accel.traverse import intersect, occluded
-from nori_tpu.interaction import fill_interaction
+from nori_tpu.interaction import fill_interaction_fast
 from nori_tpu.integrators.base import (
     Integrator, lane_uniform2,
 )
@@ -32,7 +32,7 @@ class NormalsIntegrator(Integrator):
     def make_li(self, scene):
         def li(sd, o, d, mint, maxt, seed, lanes):
             hit = intersect(sd, o, d, mint, maxt)
-            its = fill_interaction(sd, hit, o, d)
+            its = fill_interaction_fast(sd, hit, o, d)
             n = o.shape[0]
             return jnp.where(
                 its.valid[:, None], jnp.abs(its.sh_n), 0.0
@@ -56,7 +56,7 @@ class SimpleIntegrator(Integrator):
 
         def li(sd, o, d, mint, maxt, seed, lanes):
             hit = intersect(sd, o, d, mint, maxt)
-            its = fill_interaction(sd, hit, o, d)
+            its = fill_interaction_fast(sd, hit, o, d)
             dvec = light_p - its.p
             r2 = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-20)
             r = jnp.sqrt(r2)
@@ -92,7 +92,7 @@ class AmbientOcclusionIntegrator(Integrator):
     def make_li(self, scene):
         def li(sd, o, d, mint, maxt, seed, lanes):
             hit = intersect(sd, o, d, mint, maxt)
-            its = fill_interaction(sd, hit, o, d)
+            its = fill_interaction_fast(sd, hit, o, d)
             frame = make_frame(its.sh_n)
             u2 = lane_uniform2(seed, lanes, 0)
             wo_local = warp.square_to_cosine_hemisphere(u2)

@@ -161,9 +161,31 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     # step's interaction fill.  Sample values are IDENTICAL to the
     # two-launch step (vis enters multiplicatively through the same
     # where); only launch structure changes.
-    merged = (config.MERGED_SWEEP and use_nee
-              and 9 * sdc.tri_packed.shape[1] * 4
-              <= RESIDENT_VMEM_BUDGET)
+    resident = 9 * sdc.tri_packed.shape[1] * 4 <= RESIDENT_VMEM_BUDGET
+    if config.MERGED_SWEEP is None:
+        # measured heuristic (config.py's A/B log): the merge wins
+        # exactly where it halves real launches — the capped-key band
+        # (auto_key_cap > 0) with the combined 2N rays fitting ONE
+        # pallas call; everywhere else the restructure overhead and
+        # the shared visit width lose
+        from nori_tpu.accel.pallas_mt import (
+            RESIDENT_SMEM_BUDGET, TILE_N)
+        from nori_tpu.accel.traverse import auto_key_cap
+
+        n_tt_m = int(sdc.tri_tile_bounds.shape[0])
+        cap_m = (auto_key_cap(n_tt_m, not resident)
+                 if config.SWEEP_KEY_CAP is None
+                 else config.SWEEP_KEY_CAP)
+        if cap_m and cap_m + 1 < n_tt_m:
+            pad_cols = -(-(cap_m + 1) // 128) * 128
+            chunk_rays = max(
+                1, RESIDENT_SMEM_BUDGET // (4 * pad_cols)) * TILE_N
+            merged_cfg = 2 * N <= chunk_rays
+        else:
+            merged_cfg = False
+    else:
+        merged_cfg = config.MERGED_SWEEP
+    merged = merged_cfg and use_nee and resident
     if config.SORT_KEY_COARSEN is None:
         key_coarsen = auto_key_coarsen(sdc)
     else:

@@ -42,13 +42,25 @@ FIXTURES = [
 ]
 
 
-def run_fixture(path: str) -> dict:
+def run_fixture(path: str, scale: int = 1) -> dict:
     from nori_tpu import load_from_xml, registry
 
     t0 = time.time()
     root = load_from_xml(path)
     if root.class_kind != registry.TEST:
         return {"error": f"not a test fixture: kind={root.class_kind}"}
+    if scale > 1 and hasattr(root, "sample_count") \
+            and "furnace" not in os.path.basename(path):
+        # reduced-strength mode (CI on CPU): fewer samples only reduce
+        # statistical POWER for the light-tailed fixtures — the
+        # t-test/chi2 acceptance thresholds stay valid at any N (bins
+        # below minExpFrequency are pooled).  The FURNACE fixtures are
+        # exempt: their a=0.8 estimator is heavy-tailed and its prefix
+        # means converge from BELOW (measured 2026-08-21: N=6k mean
+        # 4.875, 12k 4.896, 25k 4.906, 50k 4.935 vs ref 5.0 — the
+        # sample t-test spuriously REJECTS at any reduced N while the
+        # full 100k passes), so they always run at full strength.
+        root.sample_count = max(1000, int(root.sample_count) // scale)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ok = root.run(verbose=True)
@@ -63,7 +75,7 @@ def run_fixture(path: str) -> dict:
     }
 
 
-def main(out_path: str | None = None) -> int:
+def main(out_path: str | None = None, scale: int = 1) -> int:
     import jax
 
     results = {}
@@ -73,7 +85,7 @@ def main(out_path: str | None = None) -> int:
             results[name] = {"error": "fixture missing from checkout"}
             continue
         try:
-            results[name] = run_fixture(path)
+            results[name] = run_fixture(path, scale=scale)
         except Exception as e:  # record, keep gating the rest
             results[name] = {"error": str(e)}
         r = results[name]
@@ -85,6 +97,7 @@ def main(out_path: str | None = None) -> int:
     all_ok = all(r.get("ok") for r in results.values())
     artifact = {
         "backend": jax.default_backend(),
+        "scale": scale,
         "all_ok": all_ok,
         "fixtures": results,
     }
@@ -97,4 +110,11 @@ def main(out_path: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default=None)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="divide fixture sample counts (CI on CPU)")
+    args = ap.parse_args()
+    sys.exit(main(args.out, scale=args.scale))
