@@ -348,12 +348,15 @@ def intersect_mixed(scene, oc, dc, mintc, maxtc, os_, ds_, mints, maxts,
               and scene.tri_bw.shape[1] == T
               and 12 * T * 4 <= RESIDENT_VMEM_BUDGET)
     tris_op = scene.tri_bw if use_bw else scene.tri_packed
-    # ONE static visit width for both query types: the closest walk's
-    # W>1 skyline over-test was the measured 15.7 -> 19.1 ms loss, so
-    # the merged launch uses the closest heuristic (the shadow side's
-    # W=2 gain was +0.6 ms — the launch-floor saving must beat it)
-    vw = (auto_visit_w(n_tt, False) if config.SWEEP_VISIT_W is None
-          else config.SWEEP_VISIT_W)
+    # ONE static visit width for both query types.  Measured on the
+    # 512k living-room steady state (job 027b, 2026-08-21): the mixed
+    # launch at the closest heuristic W=1 is 48.2 ms vs the separate
+    # sweeps' 43.0 — the W=1 penalty on the SHADOW half dominates at
+    # scale — while W=2 lands at 43.3 ms (the closest half's W=2
+    # over-test does NOT reproduce at this pool size).  Use the
+    # ANY-HIT heuristic.
+    vw = (auto_visit_w(n_tt, True) if config.SWEEP_VISIT_W_ANYHIT is None
+          else config.SWEEP_VISIT_W_ANYHIT)
     t, idx = mt_sweep_resident_mixed(
         tris_op, scene.tri_tile_bounds, scene.scene_bounds, rays,
         tile_ah, use_bw=use_bw, visit_w=vw, key_cap=key_cap)
