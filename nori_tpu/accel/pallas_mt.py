@@ -757,11 +757,12 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
 
     # sub-slab culling bounds (see _mt_stream_kernel): recomputed from
     # the packed soup per sweep (one 19 MB HBM scan at ajax scale,
-    # ~30 us — not worth a SceneData field)
-    if cull_t is None:
-        from nori_tpu import config as _cfg
-
-        cull_t = getattr(_cfg, "STREAM_CULL_T", STREAM_CULL_T)
+    # ~30 us — not worth a SceneData field).  cull_t is resolved by
+    # the NON-jitted mt_sweep_streamed wrapper (resolving config here
+    # would freeze the first-traced value into the jit cache);
+    # None reaching this point means disabled.  Incompatible with the
+    # Baldwin-Weber operand (the sub-block AABBs come from the
+    # [v0|e1|e2] rows, which the BW pack does not carry).
     n_sub = tile_t // cull_t if (cull_t and tile_t % cull_t == 0
                                  and tile_t > cull_t
                                  and not use_bw) else 1
@@ -813,9 +814,6 @@ def _stream_call(tris_packed, tile_bounds, rays_packed, any_hit: bool,
     return out[:, 0], jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("any_hit", "key_cap", "cull_t",
-                                    "use_bw"))
 def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
                       any_hit: bool = False,
                       key_cap: int | None = None,
@@ -828,7 +826,28 @@ def mt_sweep_streamed(tris_packed, tile_bounds, rays_packed,
     overflow rows re-DMA every slab; see config.SWEEP_KEY_CAP's log);
     a positive cap K-caps the key rows with the exact all-tiles
     fallback (see ray_tile_entry_keys) — opt-in for tests and for
-    callers whose scenes measured a cap win."""
+    callers whose scenes measured a cap win.
+    cull_t: None resolves config.STREAM_CULL_T HERE, outside the jit
+    cache, so config A/Bs retrace (the resolved value is a static jit
+    arg of the inner impl).  Sub-slab culling requires use_bw=False —
+    the sub-block AABBs come from the [v0|e1|e2] rows."""
+    if cull_t is None:
+        from nori_tpu import config
+
+        cull_t = config.STREAM_CULL_T
+    return _mt_sweep_streamed_jit(
+        tris_packed, tile_bounds, rays_packed, any_hit=any_hit,
+        key_cap=key_cap, cull_t=cull_t, use_bw=use_bw)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "key_cap", "cull_t",
+                                    "use_bw"))
+def _mt_sweep_streamed_jit(tris_packed, tile_bounds, rays_packed,
+                           any_hit: bool = False,
+                           key_cap: int | None = None,
+                           cull_t: int | None = None,
+                           use_bw: bool = False):
     _, N = rays_packed.shape
     n_tt = tile_bounds.shape[0]
     cap = 0 if key_cap is None else key_cap
@@ -1348,10 +1367,7 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
     T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_tt = T // FINE_T
-    kc = cap + 1 if cap + 1 < n_tt else n_tt
-    pad_cols = -(-kc // 128) * 128
-    max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
-    chunk_rays = max_rt * TILE_N
+    chunk_rays = resident_chunk_rays(n_tt, cap)
     if N <= chunk_rays:
         return _resident_call(tris_op, tile_bounds, rays_packed, any_hit,
                               use_mxu, visit_w, use_bw=use_bw,
@@ -1365,6 +1381,19 @@ def mt_sweep_resident(tris_op, tile_bounds, scene_bounds, rays_packed,
         for acc, r in zip(outs, res):
             acc.append(r)
     return tuple(jnp.concatenate(a) for a in outs)
+
+
+def resident_chunk_rays(n_tt: int, key_cap: int | None) -> int:
+    """Rays per pallas call for the resident sweep under the SMEM
+    budget — the ONE definition shared by mt_sweep_resident,
+    mt_sweep_resident_mixed and the wavefront's merged-step heuristic
+    (which must predict the real chunking exactly)."""
+    cap = RESIDENT_KEY_CAP if key_cap is None else key_cap
+    if cap == 0:
+        cap = 1 << 24
+    kc = cap + 1 if cap + 1 < n_tt else n_tt
+    pad_cols = -(-kc // 128) * 128
+    return max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols)) * TILE_N
 
 
 @functools.partial(jax.jit,
@@ -1390,10 +1419,7 @@ def mt_sweep_resident_mixed(tris_op, tile_bounds, scene_bounds,
     T = cols // 4 if use_mxu else cols
     _, N = rays_packed.shape
     n_tt = T // FINE_T
-    kc = cap + 1 if cap + 1 < n_tt else n_tt
-    pad_cols = -(-kc // 128) * 128
-    max_rt = max(1, RESIDENT_SMEM_BUDGET // (4 * pad_cols))
-    chunk_rays = max_rt * TILE_N
+    chunk_rays = resident_chunk_rays(n_tt, cap)
     if N <= chunk_rays:
         return _resident_call(tris_op, tile_bounds, rays_packed, False,
                               use_mxu, visit_w, use_bw=use_bw,

@@ -80,7 +80,9 @@ SWEEP_KEY_CAP: int | None = None
 SORT_KEY_COARSEN: int | None = None
 
 #: streamed-sweep sub-slab culling granularity (0 disables — the
-#: measured DEFAULT; ints must divide STREAM_T).  NEGATIVE RESULT
+#: measured DEFAULT; ints must divide STREAM_T; requires
+#: USE_BW_SWEEP=False — the sub-block AABBs come from the [v0|e1|e2]
+#: rows, which the BW pack lacks).  NEGATIVE RESULT
 #: (2026-08-20, r5): gating the MT compute per 128-triangle sub-block
 #: of each DMA'd 512-slab with a scalar AABB test was built on the
 #: observation that the slab granularity over-tests ~3x (union 3122

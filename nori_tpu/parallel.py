@@ -143,14 +143,21 @@ def make_sharded_wavefront(scene, mode: int, mesh: Mesh,
         max_depth = MAX_DEPTH
     spp = scene.sampler.sample_count
     assert chunk_dev % spp == 0, "chunk_dev must be pixel-aligned"
+    # one merged-sweep decision for both stages (the shrunk carry
+    # inherits the wide stage's state-dict fields)
+    from nori_tpu.wavefront import auto_merged_sweep
+
+    merged = auto_merged_sweep(scene.compile(), n_lanes_dev)
     init, step, n_act, finalize = make_wavefront_stepper(
-        scene, mode, n_lanes_dev, chunk_dev, max_depth, sort_rays)
+        scene, mode, n_lanes_dev, chunk_dev, max_depth, sort_rays,
+        merged=merged)
     n_small = max(1024, n_lanes_dev // SHRINK_FACTOR)
     have_small = n_small < n_lanes_dev
     if have_small:
         shrink = make_shrink(n_lanes_dev, n_small)
         _, small_step, small_n_act, _ = make_wavefront_stepper(
-            scene, mode, n_small, chunk_dev, max_depth, sort_rays)
+            scene, mode, n_small, chunk_dev, max_depth, sort_rays,
+            merged=merged)
     new_film, splat_chunk, film_final = make_dense_splat(scene, chunk_dev)
     n_dev = mesh.devices.size
 

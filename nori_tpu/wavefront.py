@@ -130,9 +130,34 @@ def auto_key_coarsen(sd) -> int:
     return 1
 
 
+def auto_merged_sweep(sdc, n_lanes: int) -> bool:
+    """Measured heuristic for the merged closest+shadow single-launch
+    step (config.py's A/B log): merge exactly where it halves real
+    launches — the capped-key band (auto_key_cap > 0) with the
+    combined 2N rays fitting ONE pallas call.  config.MERGED_SWEEP
+    pins it."""
+    from nori_tpu import config
+    from nori_tpu.accel.pallas_mt import (
+        RESIDENT_VMEM_BUDGET, resident_chunk_rays)
+    from nori_tpu.accel.traverse import auto_key_cap
+
+    if config.MERGED_SWEEP is not None:
+        return config.MERGED_SWEEP
+    resident = 9 * sdc.tri_packed.shape[1] * 4 <= RESIDENT_VMEM_BUDGET
+    if not resident:
+        return False
+    n_tt = int(sdc.tri_tile_bounds.shape[0])
+    cap = (auto_key_cap(n_tt, False) if config.SWEEP_KEY_CAP is None
+           else config.SWEEP_KEY_CAP)
+    if not cap or cap + 1 >= n_tt:
+        return False
+    return 2 * n_lanes <= resident_chunk_rays(n_tt, cap)
+
+
 def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                            max_depth: int = MAX_DEPTH,
-                           sort_rays: bool | None = None):
+                           sort_rays: bool | None = None,
+                           merged: bool | None = None):
     """Build (init, step, n_active) jitted functions.
 
     carry = (state dict, next_q, records (chunk + N, 4), w_cursor,
@@ -161,31 +186,17 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
     # step's interaction fill.  Sample values are IDENTICAL to the
     # two-launch step (vis enters multiplicatively through the same
     # where); only launch structure changes.
+    # NOTE: `merged` must be IDENTICAL for every stage of one render's
+    # drain-shrink cascade (the shrunk carry inherits the wide stage's
+    # state dict, which only carries hit_t/hit_tri/primed when the
+    # wide step was merged), so render_wavefront / the sharded driver
+    # compute it ONCE from the WIDE pool and pass it down; the None
+    # default (standalone callers, tests) evaluates the heuristic for
+    # THIS n_lanes.
     resident = 9 * sdc.tri_packed.shape[1] * 4 <= RESIDENT_VMEM_BUDGET
-    if config.MERGED_SWEEP is None:
-        # measured heuristic (config.py's A/B log): the merge wins
-        # exactly where it halves real launches — the capped-key band
-        # (auto_key_cap > 0) with the combined 2N rays fitting ONE
-        # pallas call; everywhere else the restructure overhead and
-        # the shared visit width lose
-        from nori_tpu.accel.pallas_mt import (
-            RESIDENT_SMEM_BUDGET, TILE_N)
-        from nori_tpu.accel.traverse import auto_key_cap
-
-        n_tt_m = int(sdc.tri_tile_bounds.shape[0])
-        cap_m = (auto_key_cap(n_tt_m, not resident)
-                 if config.SWEEP_KEY_CAP is None
-                 else config.SWEEP_KEY_CAP)
-        if cap_m and cap_m + 1 < n_tt_m:
-            pad_cols = -(-(cap_m + 1) // 128) * 128
-            chunk_rays = max(
-                1, RESIDENT_SMEM_BUDGET // (4 * pad_cols)) * TILE_N
-            merged_cfg = 2 * N <= chunk_rays
-        else:
-            merged_cfg = False
-    else:
-        merged_cfg = config.MERGED_SWEEP
-    merged = merged_cfg and use_nee and resident
+    if merged is None:
+        merged = auto_merged_sweep(sdc, N)
+    merged = merged and use_nee and resident
     if config.SORT_KEY_COARSEN is None:
         key_coarsen = auto_key_coarsen(sdc)
     else:
@@ -262,6 +273,15 @@ def make_wavefront_stepper(scene, mode: int, n_lanes: int, chunk: int,
                 st["primed"],
                 lambda: (st["hit_t"], st["hit_tri"]), _prime)
             rp_cur, _ = pack_rays(o, d, mint, maxt)
+            pad_n = rp_cur.shape[1] - N
+            if pad_n:
+                # pack_rays pads rays to the TILE_N multiple; the
+                # carried hit arrays are N wide — pad with misses so
+                # the epilogue's shapes line up for any n_lanes
+                hit_t = jnp.concatenate(
+                    [hit_t, jnp.full((pad_n,), jnp.inf, jnp.float32)])
+                hit_tri = jnp.concatenate(
+                    [hit_tri, jnp.full((pad_n,), -1, jnp.int32)])
             hit = sweep_hit_epilogue(sd, rp_cur, hit_t, hit_tri, N)
         else:
             hit = intersect(sd, o, d, mint, maxt)
@@ -775,8 +795,12 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
                  _cfg.STREAM_CULL_T, _cfg.MERGED_SWEEP)
     cache = getattr(scene, "_wf_cache", None)
     if cache is None or cache[0] != cache_key:
+        # one merged-sweep decision for the WHOLE cascade: the shrunk
+        # carry inherits the wide stage's state-dict fields
+        merged = auto_merged_sweep(sd, n_lanes)
         init, step, n_act, finalize = make_wavefront_stepper(
-            scene, mode, n_lanes, chunk, max_depth, sort_rays)
+            scene, mode, n_lanes, chunk, max_depth, sort_rays,
+            merged=merged)
         # drain-shrink cascade: successively SHRINK_FACTOR-x narrower
         # steppers (floored at 1024 lanes, at most MAX_SHRINK_STAGES
         # extra compiles) so the occupancy-decay tail pays sweeps at
@@ -790,7 +814,8 @@ def render_wavefront(scene, spp: int | None = None, seed: int = 0,
             shrink = make_shrink(n_cur, n_next)
             stages.append((step_cur, n_act_cur, shrink))
             _, step_cur, n_act_cur, _ = make_wavefront_stepper(
-                scene, mode, n_next, chunk, max_depth, sort_rays)
+                scene, mode, n_next, chunk, max_depth, sort_rays,
+                merged=merged)
             n_cur = n_next
         stages.append((step_cur, n_act_cur, None))
         steppers = (init, stages, finalize)

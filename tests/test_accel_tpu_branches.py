@@ -351,3 +351,41 @@ def test_streamed_sweep_key_cap_overflow(sd, rays):
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
     v = np.asarray(i0) >= 0
     assert np.array_equal(np.asarray(t0)[v], np.asarray(t1)[v])
+
+
+def test_streamed_sweep_subslab_cull_matches_brute(sd, rays):
+    # the sub-slab culling branch (n_sub > 1: per-128-tri AABB gates
+    # inside each DMA'd slab) — a measured NEGATIVE result kept for
+    # hardware with cheaper scalar branches (config.STREAM_CULL_T);
+    # must stay EXACT.  Requires the MT operand (use_bw=False): the
+    # sub-block AABBs come from the [v0|e1|e2] rows.
+    from nori_tpu.accel.pallas_mt import STREAM_T, mt_sweep_streamed
+
+    o, d, mint, maxt = rays
+    oracle = intersect_brute(sd, o, d, mint, maxt)
+    rp, n = pack_rays(o, d, mint, maxt)
+    tb = np.asarray(sd.tri_tile_bounds)
+    grp = STREAM_T // FINE_T
+    n_tt = tb.shape[0] // grp
+    tb_s = np.zeros((n_tt, 8), np.float32)
+    tb_s[:, 0:3] = tb[:n_tt * grp, 0:3].reshape(n_tt, grp, 3).min(1)
+    tb_s[:, 3:6] = tb[:n_tt * grp, 3:6].reshape(n_tt, grp, 3).max(1)
+    cover = n_tt * grp * FINE_T
+    t, idx = mt_sweep_streamed(
+        sd.tri_packed[:, :cover], jnp.asarray(tb_s), rp, cull_t=128)
+    t, idx = t[:n], idx[:n]
+    vo = np.asarray(oracle.valid) & (np.asarray(oracle.tri) < cover)
+    assert np.array_equal(np.asarray(idx >= 0), vo)
+    np.testing.assert_allclose(
+        np.asarray(t)[vo], np.asarray(oracle.t)[vo], rtol=1e-5)
+    # and the config-resolved path must see a live config value (the
+    # non-jitted wrapper resolves STREAM_CULL_T outside the jit cache)
+    from nori_tpu import config
+    old = config.STREAM_CULL_T
+    config.STREAM_CULL_T = 128
+    try:
+        t2, i2 = mt_sweep_streamed(
+            sd.tri_packed[:, :cover], jnp.asarray(tb_s), rp)
+    finally:
+        config.STREAM_CULL_T = old
+    assert np.array_equal(np.asarray(i2), np.asarray(idx))

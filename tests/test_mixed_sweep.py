@@ -132,3 +132,22 @@ def test_merged_wavefront_bit_exact(monkeypatch):
     finally:
         config.MERGED_SWEEP = old
     assert np.array_equal(np.asarray(img_ref), np.asarray(img_m))
+
+
+def test_merged_wavefront_unaligned_pool():
+    """The merged step must handle n_lanes that is not a TILE_N
+    multiple (pack_rays pads rays; the carried hits are padded to
+    match) and produce the lane-count-independent image."""
+    from nori_tpu import config
+    from nori_tpu.wavefront import render_wavefront
+
+    old = config.MERGED_SWEEP
+    config.MERGED_SWEEP = True
+    try:
+        s1 = cornell_box(width=16, height=8, spp=2, sphere_subdiv=2)
+        a, _ = render_wavefront(s1, spp=2, n_lanes=1000, seed=4)
+        s2 = cornell_box(width=16, height=8, spp=2, sphere_subdiv=2)
+        b, _ = render_wavefront(s2, spp=2, n_lanes=4096, seed=4)
+    finally:
+        config.MERGED_SWEEP = old
+    assert np.array_equal(np.asarray(a), np.asarray(b))
