@@ -66,8 +66,15 @@ def _mirror(buf, path, stop):
 
 def run_one(job):
     path = os.path.join(JOBS, job)
-    with open(path) as f:
-        code = f.read()
+    try:
+        with open(path) as f:
+            code = f.read()
+    except FileNotFoundError:
+        # job was renamed/deleted between the directory listing and
+        # execution (observed 2026-08-21: a mid-batch rename killed
+        # the whole worker loop); skip, the next listing is truth
+        print(f"{job}: vanished before execution; skipping", flush=True)
+        return "SKIPPED"
     buf = io.StringIO()
     cur = os.path.join(JOBS, "CURRENT")
     with open(cur, "w") as f:
