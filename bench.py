@@ -153,6 +153,21 @@ def _attach_backend(timeout_s: float):
     would need a second claim on the single-client tunnel)."""
     import threading
 
+    # persistent compilation cache: the bench's dominant fixed cost is
+    # stepper compiles through the axon tunnel (minutes); a pre-warmed
+    # /tmp cache (any earlier bench/worker run this boot) turns them
+    # into millisecond loads, keeping the whole bench inside the
+    # driver's time budget.  Best-effort: unsupported backends just
+    # skip it.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
     done = threading.Event()
 
     def watchdog():
