@@ -247,11 +247,24 @@ def main():
 
     # remaining rows, cheapest-information-per-second first, each
     # cost-guarded.  Estimates: a small-scene row costs ~1 compile
-    # (dominated by tunnel latency, seeded from the living-room row's
-    # own compile share) + two short renders.
+    # (dominated by tunnel latency) + two short renders.  The estimate
+    # is seeded from the living-room row's compile share and then
+    # LEARNS from each completed row: the headline row bundles
+    # attach-adjacent warmup (and with a cold /tmp/jax_cache, the
+    # cache writes), so later rows are far cheaper — measured
+    # 2026-08-21: lr row 205 s vs cbox 26.5 / table 32.5 warm, and
+    # the static estimate skipped the ajax rows by 9 s.
     lr_row_s = rec.breakdown["living_room"]["row_seconds"]
     lr_render_s = 2 * rec.breakdown["living_room"]["seconds"]
-    compile_est = max(30.0, lr_row_s - lr_render_s)  # per-scene compile
+    compile_obs = [max(30.0, lr_row_s - lr_render_s)]
+
+    def compile_est():
+        return min(compile_obs)
+
+    def observe(row):
+        if row and "row_seconds" in row:
+            compile_obs.append(max(
+                10.0, row["row_seconds"] - 2 * row.get("seconds", 0.0)))
 
     def guard(name, est_s):
         if remaining() < est_s + 20.0:
@@ -265,12 +278,13 @@ def main():
     def xml_row(name, path, spp, n_lanes, tune, est_render_s):
         if not os.path.exists(path):
             return
-        if not guard(name, compile_est + est_render_s):
+        if not guard(name, compile_est() + est_render_s):
             return
         try:
             sc = load_from_xml(path)
             rec.breakdown[name] = _bench_scene(
                 sc, spp=spp, n_lanes=n_lanes, tune=tune)
+            observe(rec.breakdown[name])
         except Exception as e:  # pragma: no cover - keep bench robust
             rec.breakdown[name] = {"error": str(e)}
         rec.flush()
@@ -282,7 +296,7 @@ def main():
     # @ 32, cbox 0.716 -> 0.742); spp only bounds bench runtime.
     if os.path.exists(REF_CBOX):
         xml_row("cbox_mis", REF_CBOX, 32, 131072, CBOX_TUNE, 10)
-    elif guard("cbox_mis", compile_est + 10):
+    elif guard("cbox_mis", compile_est() + 10):
         cbox = cornell_box(width=800, height=600, spp=16)
         rec.breakdown["cbox_mis"] = _bench_scene(
             cbox, spp=32, tune=CBOX_TUNE)
